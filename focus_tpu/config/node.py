@@ -134,6 +134,46 @@ class CfgNode(dict):
         return f"CfgNode({dict.__repr__(self)})"
 
 
+class StaticCfg:
+    """Opaque, hashable wrapper so a CfgNode can be a flax Module attribute
+    (flax would otherwise coerce the dict subclass into a FrozenDict).
+    Attribute access proxies to the wrapped node; nested nodes are wrapped
+    on the fly. Hash/eq use the YAML dump so jit treats equal configs as
+    the same static value."""
+
+    __slots__ = ("_node", "_dump")
+
+    def __init__(self, node: "CfgNode"):
+        object.__setattr__(self, "_node", node)
+        object.__setattr__(self, "_dump", None)
+
+    def __getattr__(self, name: str) -> Any:
+        v = getattr(object.__getattribute__(self, "_node"), name)
+        return StaticCfg(v) if isinstance(v, CfgNode) else v
+
+    def __setattr__(self, name, value):
+        raise AttributeError("StaticCfg is read-only")
+
+    def unwrap(self) -> "CfgNode":
+        return object.__getattribute__(self, "_node")
+
+    def _key(self) -> str:
+        d = object.__getattribute__(self, "_dump")
+        if d is None:
+            d = object.__getattribute__(self, "_node").dump()
+            object.__setattr__(self, "_dump", d)
+        return d
+
+    def __hash__(self) -> int:
+        return hash(self._key())
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, StaticCfg) and self._key() == other._key()
+
+    def __repr__(self) -> str:
+        return "StaticCfg(...)"
+
+
 def _decode(v: Any) -> Any:
     """Decode a YAML/CLI string into a python literal when possible."""
     if not isinstance(v, str):

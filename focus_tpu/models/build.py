@@ -1,0 +1,45 @@
+"""Model registry and builder.
+
+Counterpart of the reference's ``slowfast/models/build.py:9-87``, redesigned
+for JAX: ``build_model`` returns a flax Module (pure; no device placement,
+no DDP wrap — replication/sharding happens in the train step via pjit).
+"""
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from focus_tpu.utils.registry import Registry
+
+MODEL_REGISTRY = Registry("MODEL")
+
+
+def compute_dtype(cfg) -> Any:
+    name = cfg.TPU.COMPUTE_DTYPE
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def build_model(cfg):
+    """Construct the flax module named by ``cfg.MODEL.MODEL_NAME``."""
+    # import for registration side effects
+    import focus_tpu.models.registry_imports  # noqa: F401
+
+    from focus_tpu.config.node import CfgNode, StaticCfg
+
+    name = cfg.MODEL.MODEL_NAME
+    model_cls = MODEL_REGISTRY.get(name)
+    if isinstance(cfg, CfgNode):
+        cfg = StaticCfg(cfg)
+    return model_cls(cfg=cfg, dtype=compute_dtype(cfg))
+
+
+def init_model(model, cfg, sample_inputs: Tuple, rng: Optional[jax.Array] = None,
+               **apply_kwargs):
+    """Initialise model variables with a sample batch."""
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    k_params, k_slots, k_gumbel, k_drop = jax.random.split(rng, 4)
+    rngs = {"params": k_params, "slots": k_slots, "gumbel": k_gumbel,
+            "dropout": k_drop}
+    return model.init(rngs, *sample_inputs, **apply_kwargs)

@@ -1,0 +1,179 @@
+"""Checkpointing: save/load pytree train state + torch-checkpoint import.
+
+Counterpart of reference ``slowfast/utils/checkpoint.py``. Native format is
+flax msgpack (fast, dependency-free); ``load_torch_checkpoint`` ingests the
+reference's ``.pyth``/``.pt`` torch pickles and maps them onto our pytrees
+(see focus_tpu/utils/torch_import.py for the name/layout mapping).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+from flax import serialization
+
+from focus_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+CKPT_DIR = "checkpoints"
+
+
+def make_checkpoint_dir(path_to_job: str, exp_name: Optional[str] = None) -> str:
+    d = get_checkpoint_dir(path_to_job, exp_name)
+    if jax.process_index() == 0:
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
+def get_checkpoint_dir(path_to_job: str, exp_name: Optional[str] = None) -> str:
+    if exp_name:
+        return os.path.join(path_to_job, exp_name, CKPT_DIR)
+    return os.path.join(path_to_job, CKPT_DIR)
+
+
+def get_path_to_checkpoint(path_to_job: str, epoch: int, fmt: str = ".pyth") -> str:
+    name = "checkpoint_epoch_{:05d}{}".format(epoch, fmt)
+    return os.path.join(get_checkpoint_dir(path_to_job), name)
+
+
+def get_last_checkpoint(path_to_job: str) -> Optional[str]:
+    d = get_checkpoint_dir(path_to_job)
+    names = (
+        [f for f in os.listdir(d) if f.startswith("checkpoint_epoch_")]
+        if os.path.exists(d)
+        else []
+    )
+    if not names:
+        return None
+    return os.path.join(d, sorted(names)[-1])
+
+
+def has_checkpoint(path_to_job: str) -> bool:
+    return get_last_checkpoint(path_to_job) is not None
+
+
+def is_checkpoint_epoch(cfg, cur_epoch: int, multigrid_schedule=None) -> bool:
+    """(reference checkpoint.py:76-98)"""
+    if cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH:
+        return True
+    if multigrid_schedule is not None:
+        prev_epoch = 0
+        for s in multigrid_schedule:
+            if cur_epoch < s[-1]:
+                period = max(
+                    (s[-1] - prev_epoch) // cfg.MULTIGRID.EVAL_FREQ + 1, 1
+                )
+                return (s[-1] - 1 - cur_epoch) % period == 0
+            prev_epoch = s[-1]
+    return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
+
+
+def save_checkpoint(
+    path_to_job: str,
+    state: Any,
+    epoch: int,
+    cfg,
+    name: Optional[str] = None,
+    fmt: str = ".pyth",
+) -> Optional[str]:
+    """Serialise a train-state pytree. Only process 0 writes."""
+    if jax.process_index() != 0:
+        return None
+    d = get_checkpoint_dir(path_to_job)
+    os.makedirs(d, exist_ok=True)
+    if name is not None:
+        path = os.path.join(d, name + fmt)
+    else:
+        path = get_path_to_checkpoint(path_to_job, epoch, fmt)
+    state = jax.device_get(state)
+    payload = {
+        "state": serialization.to_bytes(state),
+        "epoch": epoch,
+        "cfg": cfg.dump() if hasattr(cfg, "dump") else None,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+    logger.info(f"Saved checkpoint to {path}")
+    return path
+
+
+def load_checkpoint(path: str, state_template: Any):
+    """Restore a pytree saved by save_checkpoint. Returns (state, epoch)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = serialization.from_bytes(state_template, payload["state"])
+    logger.info(f"Loaded checkpoint from {path} (epoch {payload['epoch']})")
+    return state, payload["epoch"]
+
+
+def load_train_checkpoint(cfg, state_template):
+    """Auto-resume precedence (reference checkpoint.py:544-584):
+    last checkpoint in OUTPUT_DIR if AUTO_RESUME, else TRAIN.CHECKPOINT_FILE_PATH.
+    Returns (state, start_epoch)."""
+    if cfg.TRAIN.AUTO_RESUME and has_checkpoint(cfg.OUTPUT_DIR):
+        last = get_last_checkpoint(cfg.OUTPUT_DIR)
+        state, epoch = load_checkpoint(last, state_template)
+        return state, epoch
+    if cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+        if path.endswith((".pt", ".pt.tar", ".pyth")) and _is_torch_pickle(path):
+            from focus_tpu.utils import torch_import
+
+            state = torch_import.load_into_state(path, state_template, cfg)
+            return state, 0
+        state, epoch = load_checkpoint(path, state_template)
+        if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
+            epoch = 0
+        return state, epoch
+    return state_template, 0
+
+
+def load_test_checkpoint(cfg, state_template):
+    """Fallback chain (reference checkpoint.py:499-541): TEST path ->
+    last ckpt in OUTPUT_DIR -> TRAIN path."""
+    if cfg.TEST.CHECKPOINT_FILE_PATH:
+        path = cfg.TEST.CHECKPOINT_FILE_PATH
+    elif has_checkpoint(cfg.OUTPUT_DIR):
+        path = get_last_checkpoint(cfg.OUTPUT_DIR)
+    elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+    else:
+        logger.info("Testing with random initialization. Only for debugging.")
+        return state_template
+    if _is_torch_pickle(path):
+        from focus_tpu.utils import torch_import
+
+        return torch_import.load_into_state(path, state_template, cfg)
+    state, _ = load_checkpoint(path, state_template)
+    return state
+
+
+def _is_torch_pickle(path: str) -> bool:
+    """Sniff whether a file is a torch zipfile/legacy pickle rather than
+    our msgpack payload."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        # torch >=1.6 saves a zip ("PK\x03\x04"); our format is a pickle
+        # whose first byte is the pickle PROTO opcode \x80.
+        if magic[:2] == b"PK":
+            return True
+        if magic[:1] == b"\x80":
+            # could be either; try our loader first
+            with open(path, "rb") as f:
+                try:
+                    payload = pickle.load(f)
+                    return not (
+                        isinstance(payload, dict) and "state" in payload
+                    )
+                except Exception:  # noqa: BLE001
+                    return True
+        return False
+    except OSError:
+        return False
