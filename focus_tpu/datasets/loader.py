@@ -1,0 +1,195 @@
+"""Host-side data loader feeding sharded device arrays.
+
+TPU-native replacement for the reference's torch DataLoader +
+DistributedSampler stack (reference ``slowfast/datasets/loader.py:85-172``):
+
+* datasets expose ``__len__`` / ``__getitem__ -> numpy pytree`` (decode and
+  per-sample augmentation stay on host CPU);
+* a thread pool decodes samples concurrently (JPEG/PNG decode releases the
+  GIL inside PIL, so threads scale without torch's process workers);
+* batches are assembled and ``jax.device_put`` with a batch-sharded
+  ``NamedSharding``, double-buffered so H2D transfer and TPU compute
+  overlap — the jitted step always finds its next input resident.
+
+Each JAX process loads only its shard of every global batch (the same
+rank-sliced protocol the reference gets from DistributedSampler).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator, Optional
+
+import jax
+import numpy as np
+
+from focus_tpu.datasets.build import build_dataset
+from focus_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+
+def _stack_tree(samples):
+    """Stack a list of sample pytrees into one batched pytree."""
+    first = samples[0]
+    if isinstance(first, (tuple, list)):
+        return type(first)(
+            _stack_tree([s[i] for s in samples]) for i in range(len(first))
+        )
+    if isinstance(first, dict):
+        return {k: _stack_tree([s[k] for s in samples]) for k in first}
+    if np.isscalar(first) or (isinstance(first, np.ndarray) and first.ndim == 0):
+        return np.asarray(samples)
+    return np.stack(samples)
+
+
+class DataLoader:
+    """Batched iterator over a map-style dataset with device prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        global_batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        num_workers: int = 8,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        prefetch: int = 2,
+        pad_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.global_batch_size = global_batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.pad_last = pad_last
+        self.epoch = 0
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        assert global_batch_size % self.process_count == 0, (
+            f"global batch {global_batch_size} not divisible by "
+            f"{self.process_count} processes"
+        )
+        self.local_batch_size = global_batch_size // self.process_count
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle (reference loader.shuffle_dataset)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch_size
+        return (n + self.global_batch_size - 1) // self.global_batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.drop_last:
+            order = order[: (n // self.global_batch_size) * self.global_batch_size]
+        return order
+
+    def _local_batches(self) -> Iterator[np.ndarray]:
+        order = self._epoch_indices()
+        gb = self.global_batch_size
+        for start in range(0, len(order), gb):
+            batch_idx = order[start : start + gb]
+            if self.pad_last and len(batch_idx) < gb:
+                batch_idx = np.concatenate(
+                    [batch_idx, batch_idx[: gb - len(batch_idx)]]
+                )
+            # contiguous slice per process so device_put sees its shard
+            local = np.array_split(batch_idx, self.process_count)[
+                self.process_index
+            ]
+            if len(local):
+                yield local
+
+    def __iter__(self) -> Iterator[Any]:
+        batches = self._local_batches()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx in batches:
+                        if stop.is_set():
+                            break
+                        samples = list(pool.map(self.dataset.__getitem__, idx))
+                        batch = _stack_tree(samples)
+                        if self.sharding is not None:
+                            batch = jax.tree_util.tree_map(
+                                lambda x: _put_global(x, self.sharding), batch
+                            )
+                        out_q.put(batch)
+            except Exception as e:  # noqa: BLE001
+                out_q.put(e)
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def _put_global(local_array: np.ndarray, sharding: jax.sharding.Sharding):
+    """Assemble a globally-sharded jax.Array from this process's shard."""
+    if jax.process_count() == 1:
+        return jax.device_put(local_array, sharding)
+    global_shape = (local_array.shape[0] * jax.process_count(),) + local_array.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, local_array, global_shape)
+
+
+def construct_loader(cfg, split: str, sharding=None, is_precise_bn: bool = False):
+    """Split -> (dataset, batch, shuffle, drop_last) table mirroring the
+    reference (loader.py:85-129)."""
+    assert split in ["train", "val", "test"]
+    if split == "train":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = True, True
+    elif split == "val":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = False, False
+    else:
+        dataset_name = cfg.TEST.DATASET
+        batch_size = cfg.TEST.BATCH_SIZE
+        shuffle, drop_last = False, False
+    dataset = build_dataset(dataset_name, cfg, split)
+    # static shapes: pad/ensemble-friendly eval keeps full batches
+    return DataLoader(
+        dataset,
+        global_batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        num_workers=cfg.DATA_LOADER.NUM_WORKERS,
+        seed=cfg.RNG_SEED,
+        sharding=sharding,
+        prefetch=cfg.TPU.PREFETCH,
+        pad_last=not drop_last,
+    )
+
+
+def shuffle_dataset(loader: DataLoader, cur_epoch: int) -> None:
+    loader.set_epoch(cur_epoch)

@@ -137,10 +137,13 @@ def load_train_checkpoint(cfg, state_template):
 def load_test_checkpoint(cfg, state_template):
     """Fallback chain (reference checkpoint.py:499-541): TEST path ->
     last ckpt in OUTPUT_DIR -> TRAIN path."""
+    exp_path = cfg.EXP.PATH if hasattr(cfg, "EXP") else ""
     if cfg.TEST.CHECKPOINT_FILE_PATH:
         path = cfg.TEST.CHECKPOINT_FILE_PATH
     elif has_checkpoint(cfg.OUTPUT_DIR):
         path = get_last_checkpoint(cfg.OUTPUT_DIR)
+    elif exp_path and has_checkpoint(exp_path):
+        path = get_last_checkpoint(exp_path)
     elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
         path = cfg.TRAIN.CHECKPOINT_FILE_PATH
     else:

@@ -37,6 +37,7 @@ def setup_logging(output_dir: str | None = None) -> None:
     logger = logging.getLogger("focus_tpu")
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
+    logger.handlers.clear()
     fmt = logging.Formatter(
         "[%(asctime)s][%(levelname)s] %(filename)s: %(lineno)3d: %(message)s",
         datefmt="%m/%d %H:%M:%S",

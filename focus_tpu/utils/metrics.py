@@ -47,6 +47,21 @@ def multitask_topk_accuracies(preds, labels, ks):
     return [float(joint[:, :k].any(axis=1).sum()) / num * 100.0 for k in ks]
 
 
+def mean_ap(preds, labels):
+    """Mean average precision for multi-label eval
+    (reference meters.py:1275-1300 get_map)."""
+    from sklearn.metrics import average_precision_score
+
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    # drop classes with no positives (mirrors reference nan filtering)
+    keep = labels.sum(axis=0) > 0
+    if keep.sum() == 0:
+        return 0.0
+    aps = average_precision_score(labels[:, keep], preds[:, keep], average=None)
+    return float(np.mean(aps))
+
+
 # ---- segmentation --------------------------------------------------------
 
 def _comb2(x):
