@@ -1,0 +1,411 @@
+"""Motionformer: trajectory-attention video ViT.
+
+Rebuild of the reference model (reference
+``slowfast/models/video_model_builder.py:1103-1353`` and
+``slowfast/models/attention.py:434-557``) as flax modules, NHWC/NTHWC.
+
+Block layout, positional-embedding tiling (separate spatial+temporal,
+reference :1306-1317), eval-time softmax (:1345-1352), the EK dual
+verb/noun head (:1341-1348) and the ``use_original_code`` trajectory-
+attention quirk are all preserved for checkpoint parity.
+"""
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from focus_tpu.models.build import MODEL_REGISTRY
+from focus_tpu.ops import attention as attn_ops
+
+trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+class Mlp(nn.Module):
+    """ViT MLP (reference ORViT/utils.py:79-98)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    drop: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_dim = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_02,
+                     dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.drop > 0.0 and not deterministic:
+            x = nn.Dropout(self.drop, deterministic=False)(x)
+        x = nn.Dense(out_dim, kernel_init=trunc_normal_02, dtype=self.dtype,
+                     name="fc2")(x)
+        if self.drop > 0.0 and not deterministic:
+            x = nn.Dropout(self.drop, deterministic=False)(x)
+        return x
+
+
+def drop_path(rng, x, drop_prob: float):
+    """Stochastic depth per sample (reference ORViT/orvit.py:13-26)."""
+    keep = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+    return x / keep * mask
+
+
+class DropPath(nn.Module):
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.drop_prob == 0.0 or deterministic:
+            return x
+        return drop_path(self.make_rng("dropout"), x, self.drop_prob)
+
+
+class TrajectoryAttention(nn.Module):
+    """(reference attention.py:479-557)"""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_original_code: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, thw, with_cls_token: bool = True,
+                 deterministic: bool = True):
+        B, N, C = x.shape
+        F = thw[0]
+        h = self.num_heads
+        hd = C // h
+        scale = hd ** -0.5
+        dense = lambda feat, name, bias: nn.Dense(
+            feat, use_bias=bias, kernel_init=trunc_normal_02,
+            dtype=self.dtype, name=name,
+        )
+
+        qkv = dense(3 * C, "qkv", self.qkv_bias)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # 'b n (h d) -> (b h) n d'
+        split_heads = lambda t: t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3).reshape(
+            B * h, -1, hd
+        )
+        q, k, v = map(split_heads, (q, k, v))
+
+        if with_cls_token:
+            cls_q, q_ = q[:, :1], q[:, 1:]
+            k_, v_ = k[:, 1:], v[:, 1:]
+            cls_out = attn_ops.cls_attention(cls_q, k, v, scale)
+            cls_out = cls_out.reshape(B, h, 1, hd).transpose(0, 2, 1, 3).reshape(B, 1, C)
+        else:
+            q_, k_, v_ = q, k, v
+
+        # stage 1: spatial attention within each frame, all frames
+        xs = attn_ops.space_stage(q_, k_, v_, F, scale)  # [(B h), S, F, d]
+        S = xs.shape[1]
+        # '(b h) s f d -> b s f (h d)'
+        xs = xs.reshape(B, h, S, F, hd).transpose(0, 2, 3, 1, 4).reshape(B, S, F, C)
+
+        x_diag = attn_ops.take_diagonal(xs, F)  # [B, S, C]
+        q2 = dense(C, "proj_q", self.qkv_bias)(x_diag)
+        kv2 = dense(2 * C, "proj_kv", self.qkv_bias)(xs)
+        k2, v2 = jnp.split(kv2, 2, axis=-1)
+        out = attn_ops.temporal_stage(
+            q2, k2, v2, xs, F, scale, h,
+            use_original_code=self.use_original_code,
+        )
+
+        if with_cls_token:
+            out = jnp.concatenate([cls_out, out], axis=1)
+        out = dense(C, "proj", True)(out)
+        if self.proj_drop > 0.0 and not deterministic:
+            out = nn.Dropout(self.proj_drop, deterministic=False)(out)
+        return out, thw
+
+
+class TrajectoryAttentionBlock(nn.Module):
+    """(reference attention.py:443-476)"""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    use_original_code: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, metadata, thw, deterministic: bool = True):
+        y, _ = TrajectoryAttention(
+            self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
+            self.drop, self.use_original_code, dtype=self.dtype, name="attn",
+        )(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
+            thw, deterministic=deterministic,
+        )
+        dp = DropPath(self.drop_path_rate, name="drop_path")
+        x = x + dp(y, deterministic=deterministic)
+        y = Mlp(
+            int(self.dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
+            name="mlp",
+        )(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
+            deterministic=deterministic,
+        )
+        x = x + dp(y, deterministic=deterministic)
+        return x, thw
+
+
+class SelfAttention(nn.Module):
+    """Joint space-time MHA (reference attention.py:355-385)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    proj_drop: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, thw=None, deterministic: bool = True):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
+                       kernel_init=trunc_normal_02, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = attn_ops.joint_attention(q, k, v, hd ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, kernel_init=trunc_normal_02, dtype=self.dtype,
+                       name="proj")(out)
+        if self.proj_drop > 0.0 and not deterministic:
+            out = nn.Dropout(self.proj_drop, deterministic=False)(out)
+        return out, thw
+
+
+class SelfAttentionBlock(nn.Module):
+    """(reference attention.py:388-432, 'SeltAttentionBlock')"""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, metadata=None, thw=None, deterministic: bool = True):
+        y, thw = SelfAttention(
+            self.dim, self.num_heads, self.qkv_bias, self.drop_rate,
+            dtype=self.dtype, name="attn",
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), thw,
+          deterministic=deterministic)
+        dp = DropPath(self.drop_path_rate, name="drop_path")
+        x = x + dp(y, deterministic=deterministic)
+        y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop_rate,
+                dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x),
+            deterministic=deterministic,
+        )
+        x = x + dp(y, deterministic=deterministic)
+        return x, thw
+
+
+class PatchEmbed3D(nn.Module):
+    """3D conv tokenizer (reference stem_helper.py:290-321). Input
+    [B, T, H, W, C] -> tokens [B, T'·H'·W', dim]."""
+
+    dim: int
+    kernel: tuple
+    stride: tuple
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.dim, self.kernel, strides=self.stride, padding="VALID",
+            kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype,
+            name="proj",
+        )(x)
+        B = x.shape[0]
+        return x.reshape(B, -1, self.dim), x.shape[1:4]
+
+
+def interpolate_pos_embed(pos_embed, npatch: int):
+    """Bicubic resize of the spatial pos-embed grid for non-224 crops
+    (reference video_model_builder.py:1285-1300)."""
+    N = pos_embed.shape[1] - 1
+    if npatch == N:
+        return pos_embed
+    dim = pos_embed.shape[-1]
+    cls_pe = pos_embed[:, :1]
+    grid = pos_embed[:, 1:].reshape(
+        1, int(math.sqrt(N)), int(math.sqrt(N)), dim
+    )
+    side = int(math.sqrt(npatch))
+    grid = jax.image.resize(grid, (1, side, side, dim), method="bicubic")
+    return jnp.concatenate([cls_pe, grid.reshape(1, -1, dim)], axis=1)
+
+
+@MODEL_REGISTRY.register()
+class Motionformer(nn.Module):
+    """(reference video_model_builder.py:1103-1353)"""
+
+    cfg: Any
+    dtype: Any = None
+
+    def setup(self):
+        c = self.cfg
+        self.img_size = c.DATA.TRAIN_CROP_SIZE
+        self.patch_size = c.MF.PATCH_SIZE
+        if c.TRAIN.DATASET == "epickitchens":
+            self.num_classes = [97, 300]
+        else:
+            self.num_classes = c.MODEL.NUM_CLASSES
+        self.embed_dim = c.MF.EMBED_DIM
+        self.depth = c.MF.DEPTH
+        self.temporal_resolution = c.MF.TEMPORAL_RESOLUTION
+        self.num_base_patches = (224 // self.patch_size) ** 2
+
+        self.patch_embed_3d = PatchEmbed3D(
+            self.embed_dim,
+            (c.MF.PATCH_SIZE_TEMP, self.patch_size, self.patch_size),
+            (c.MF.PATCH_SIZE_TEMP, self.patch_size, self.patch_size),
+            dtype=self.dtype,
+        )
+        self.cls_token = self.param(
+            "cls_token", trunc_normal_02, (1, 1, self.embed_dim)
+        )
+        self.pos_embed = self.param(
+            "pos_embed", trunc_normal_02,
+            (1, self.num_base_patches + 1, self.embed_dim),
+        )
+        if c.MF.POS_EMBED == "joint":
+            num_patches = self.num_base_patches * self.temporal_resolution
+            self.st_embed = self.param(
+                "st_embed", trunc_normal_02, (1, num_patches + 1, self.embed_dim)
+            )
+        elif c.MF.POS_EMBED == "separate":
+            self.temp_embed = self.param(
+                "temp_embed", nn.initializers.zeros,
+                (1, self.temporal_resolution, self.embed_dim),
+            )
+
+        dpr = [
+            float(r) for r in
+            jnp.linspace(0, c.MF.DROP_PATH, self.depth)
+        ]
+        blocks = []
+        for i in range(self.depth):
+            if i in c.ORVIT.LAYERS:
+                from focus_tpu.models.orvit import ORViTBlock
+
+                blocks.append(
+                    ORViTBlock(
+                        cfg=c,
+                        dim=self.embed_dim,
+                        num_heads=c.MF.NUM_HEADS,
+                        mlp_ratio=c.MF.MLP_RATIO,
+                        qkv_bias=c.MF.QKV_BIAS,
+                        drop=c.MF.DROP,
+                        attn_drop=c.MF.ATTN_DROPOUT,
+                        nb_frames=self.temporal_resolution,
+                        dtype=self.dtype,
+                        name=f"blocks_{i}",
+                    )
+                )
+            else:
+                blocks.append(
+                    TrajectoryAttentionBlock(
+                        dim=self.embed_dim,
+                        num_heads=c.MF.NUM_HEADS,
+                        mlp_ratio=c.MF.MLP_RATIO,
+                        qkv_bias=c.MF.QKV_BIAS,
+                        drop=c.MF.DROP,
+                        attn_drop=c.MF.ATTN_DROPOUT,
+                        drop_path_rate=dpr[i],
+                        dtype=self.dtype,
+                        name=f"blocks_{i}",
+                    )
+                )
+        self.blocks = blocks
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+
+        if c.MF.USE_MLP:
+            self.pre_logits_fc = nn.Dense(
+                self.embed_dim, kernel_init=trunc_normal_02, dtype=self.dtype
+            )
+            self.head_act = {"tanh": jnp.tanh, "gelu": nn.gelu}.get(
+                c.MF.HEAD_ACT, nn.relu
+            )
+        if isinstance(self.num_classes, (list, tuple)):
+            self.heads = [
+                nn.Dense(n, kernel_init=trunc_normal_02, name=f"head{i}")
+                for i, n in enumerate(self.num_classes)
+            ]
+        elif self.num_classes > 0:
+            self.head = nn.Dense(self.num_classes, kernel_init=trunc_normal_02)
+
+        self.pos_dropout = c.MF.POS_DROPOUT
+        self.head_dropout = c.MF.HEAD_DROPOUT
+
+    def forward_features(self, x, metadata, train: bool = False):
+        """x: [B, T, H, W, C] -> pooled feature [B, d]."""
+        c = self.cfg
+        B = x.shape[0]
+        tokens, (t_, h_, w_) = self.patch_embed_3d(x)
+        npatch = h_ * w_
+
+        cls_tokens = jnp.broadcast_to(
+            self.cls_token.astype(tokens.dtype), (B, 1, self.embed_dim)
+        )
+        tokens = jnp.concatenate([cls_tokens, tokens], axis=1)
+
+        pos_embed = interpolate_pos_embed(self.pos_embed, npatch)
+        if c.MF.VIDEO_INPUT:
+            if c.MF.POS_EMBED == "separate":
+                cls_embed = self.pos_embed[:, :1]
+                tile_pos = jnp.tile(pos_embed[:, 1:], (1, self.temporal_resolution, 1))
+                tile_temp = jnp.repeat(self.temp_embed, npatch, axis=1)
+                total = jnp.concatenate([cls_embed, tile_pos + tile_temp], axis=1)
+                tokens = tokens + total.astype(tokens.dtype)
+            elif c.MF.POS_EMBED == "joint":
+                tokens = tokens + self.st_embed.astype(tokens.dtype)
+        else:
+            tokens = tokens + pos_embed.astype(tokens.dtype)
+
+        if self.pos_dropout > 0.0 and train:
+            tokens = nn.Dropout(self.pos_dropout, deterministic=False)(tokens)
+
+        thw = (self.temporal_resolution, int(npatch ** 0.5), int(npatch ** 0.5))
+        for blk in self.blocks:
+            tokens, _ = blk(tokens, metadata, thw, deterministic=not train)
+        feat = self.norm(tokens)[:, 0]
+        if c.MF.USE_MLP:
+            feat = self.head_act(self.pre_logits_fc(feat))
+        return feat
+
+    def __call__(self, x, metadata=None, train: bool = False):
+        feat = self.forward_features(x, metadata, train=train)
+        if self.head_dropout > 0.0 and train:
+            feat = nn.Dropout(self.head_dropout, deterministic=False)(feat)
+        if isinstance(self.num_classes, (list, tuple)):
+            outs = []
+            for head in self.heads:
+                o = head(feat)
+                if not train:
+                    o = jax.nn.softmax(o, axis=-1)
+                outs.append(o)
+            return outs[0], {"verb": outs[0], "noun": outs[1]}
+        logits = self.head(feat)
+        if not train:
+            logits = jax.nn.softmax(logits, axis=-1)
+        return logits

@@ -1,0 +1,94 @@
+"""Trajectory attention and joint space-time self-attention.
+
+Functional cores (pure jnp on projected q/k/v) so the same math can be
+swapped between the XLA path here and the fused Pallas kernel
+(focus_tpu/ops/pallas/trajectory_attention.py) without touching modules.
+
+Trajectory attention (reference ``slowfast/models/attention.py:479-557``):
+  stage 1 — every query token attends *within each frame* over all F
+  frames' keys, producing per-frame aggregates x[b, q, f, d];
+  stage 2 — temporal attention along the trajectory, with the query taken
+  from the diagonal frame (the aggregate of the query's own frame).
+The reference's ``use_original_code=True`` path (a typo kept for
+checkpoint parity: values = stage-1 aggregates instead of the learned v2
+projection, attention.py:544-548) is the default here too.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def space_stage(q_, k_, v_, f: int, scale: float):
+    """Stage 1: per-frame spatial attention for all query tokens.
+
+    q_, k_, v_: [BH, S, d] with S = F * P (no CLS).
+    Returns x: [BH, S, F, d].
+    """
+    BH, S, d = q_.shape
+    p = S // f
+    logits = jnp.einsum("bqd,bkd->bqk", q_, k_, preferred_element_type=jnp.float32)
+    logits = logits.reshape(BH, S, f, p) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(q_.dtype)
+    v_f = v_.reshape(BH, f, p, d)
+    return jnp.einsum(
+        "bqfn,bfnd->bqfd", attn, v_f, preferred_element_type=jnp.float32
+    ).astype(q_.dtype)
+
+
+def take_diagonal(x, f: int):
+    """x: [B, S, F, d] with S = F * P -> diagonal frame aggregate [B, S, d]
+    (reference attention.py:533-535)."""
+    B, S, F, d = x.shape
+    p = S // f
+    xg = x.reshape(B, f, p, F, d)
+    diag = jnp.einsum("bgnfd,gf->bgnd", xg, jnp.eye(f, dtype=x.dtype))
+    return diag.reshape(B, S, d)
+
+
+def temporal_stage(q2, k2, v2, x, f: int, scale: float, h: int,
+                   use_original_code: bool = True):
+    """Stage 2: attention over the F per-frame aggregates.
+
+    q2: [B, S, C] (projected diagonal), k2/v2: [B, S, F, C], x: [B, S, F, C]
+    Returns [B, S, C].
+    """
+    B, S, C = q2.shape
+    d = C // h
+    q2h = q2.reshape(B, S, h, d) * scale
+    k2h = k2.reshape(B, S, f, h, d)
+    logits = jnp.einsum(
+        "bshd,bsfhd->bhsf", q2h, k2h, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(logits, axis=-1).astype(q2.dtype)
+    src = x if use_original_code else v2
+    srch = src.reshape(B, S, f, h, d)
+    out = jnp.einsum(
+        "bhsf,bsfhd->bshd", attn, srch, preferred_element_type=jnp.float32
+    ).astype(q2.dtype)
+    return out.reshape(B, S, C)
+
+
+def cls_attention(cls_q, k, v, scale: float):
+    """CLS token attends over everything (reference attention.py:512-519).
+    cls_q: [BH, 1, d], k/v: [BH, N, d] -> [BH, 1, d]."""
+    logits = jnp.einsum(
+        "bqd,bkd->bqk", cls_q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(logits, axis=-1).astype(cls_q.dtype)
+    return jnp.einsum(
+        "bqk,bkd->bqd", attn, v, preferred_element_type=jnp.float32
+    ).astype(cls_q.dtype)
+
+
+def joint_attention(q, k, v, scale: float):
+    """Vanilla joint space-time attention (reference attention.py:355-385).
+    q/k/v: [B, H, N, d]."""
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
