@@ -66,4 +66,4 @@ class Synthetic_classification:
         rs = np.random.RandomState(idx)
         video = rs.rand(self.t, self.hw, self.hw, 3).astype(np.float32)
         label = np.int32(idx % self.num_classes)
-        return video, label
+        return video, label, np.int32(idx), {}

@@ -1,0 +1,87 @@
+"""Multi-view testing (counterpart of reference ``tools/test_net.py``).
+
+Datasets replicate each video NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS
+times; per-clip softmax scores are ensembled per video by the TestMeter
+(sum or max). No cross-process gather is needed: each process's clips
+carry their global video index and the meter is reduced at the end via
+process_allgather when multi-host.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from focus_tpu.datasets import loader as data_loader
+from focus_tpu.engine.trainer import build_supervised_state, make_supervised_eval_step
+from focus_tpu.models.build import build_model
+from focus_tpu.parallel import mesh as mesh_lib
+from focus_tpu.utils import checkpoint as cu
+from focus_tpu.utils import logging
+from focus_tpu.utils.meters import TestMeter
+
+logger = logging.get_logger(__name__)
+
+
+def _split_test_batch(batch):
+    if isinstance(batch, (tuple, list)):
+        if len(batch) >= 4:
+            return batch[0], batch[1], batch[2], batch[3]
+        if len(batch) == 3:
+            return batch[0], batch[1], batch[2], {}
+        return batch[0], batch[1], None, {}
+    raise ValueError("test dataset must yield (video, label, index[, meta])")
+
+
+def perform_test(test_loader, state, eval_step, test_meter, cfg):
+    for cur_iter, batch in enumerate(test_loader):
+        video, labels, video_idx, metadata = _split_test_batch(batch)
+        test_meter.iter_tic()
+        preds = eval_step(state, video, metadata)
+        logits = preds[0] if isinstance(preds, tuple) else preds
+        test_meter.update_stats(
+            np.asarray(jax.device_get(logits)),
+            np.asarray(jax.device_get(labels)),
+            np.asarray(jax.device_get(video_idx)),
+        )
+        test_meter.iter_toc()
+        test_meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
+    return test_meter.finalize_metrics()
+
+
+def test(cfg):
+    """(reference test_net.py:160-232)"""
+    mesh_lib.init_distributed(cfg)
+    np.random.seed(cfg.RNG_SEED)
+    logging.setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Test with config:")
+    logger.info(cfg.dump())
+
+    mesh = mesh_lib.build_mesh(cfg)
+    model = build_model(cfg)
+    data_sh = mesh_lib.batch_sharded(mesh)
+    test_loader = data_loader.construct_loader(cfg, "test", sharding=data_sh)
+    logger.info(f"Testing model for {len(test_loader)} iterations")
+
+    sample = next(iter(test_loader))
+    state = build_supervised_state(cfg, model, mesh, sample, 1)
+    state = cu.load_test_checkpoint(cfg, state)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    eval_step = make_supervised_eval_step(model, cfg, mesh)
+
+    num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    num_videos = len(test_loader.dataset) // num_clips
+    assert len(test_loader.dataset) % num_clips == 0, (
+        len(test_loader.dataset), num_clips,
+    )
+    test_meter = TestMeter(
+        num_videos,
+        num_clips,
+        cfg.MODEL.NUM_CLASSES,
+        len(test_loader),
+        cfg.DATA.MULTI_LABEL,
+        cfg.DATA.ENSEMBLE_METHOD,
+    )
+    stats = perform_test(test_loader, state, eval_step, test_meter, cfg)
+    return stats

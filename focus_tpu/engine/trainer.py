@@ -1,0 +1,227 @@
+"""Supervised training loop (counterpart of reference ``tools/train_net.py``).
+
+One jitted train step over the device mesh: params replicated, batch
+sharded on 'data'. LR follows the reference's per-iteration fractional-
+epoch policy as a pure function of the step counter (see
+focus_tpu/models/optimizer.py). Top-1/top-5 are computed on-device in the
+step and only synced at LOG_PERIOD boundaries so dispatch stays async.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focus_tpu.datasets import loader as data_loader
+from focus_tpu.models import losses as losses_lib
+from focus_tpu.models import optimizer as optim
+from focus_tpu.models.build import build_model, init_model
+from focus_tpu.parallel import mesh as mesh_lib
+from focus_tpu.parallel.train_state import TrainState
+from focus_tpu.utils import checkpoint as cu
+from focus_tpu.utils import logging, lr_policy
+from focus_tpu.utils.meters import EpochTimer, TrainMeter, ValMeter
+from focus_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+logger = logging.get_logger(__name__)
+
+
+def _topk_errors_device(logits, labels, ks=(1, 5)):
+    """Per-batch top-k error (%) computed on device."""
+    out = {}
+    max_k = min(max(ks), logits.shape[-1])
+    _, top = jax.lax.top_k(logits, max_k)
+    correct = top == labels[:, None]
+    for k in ks:
+        kk = min(k, max_k)
+        err = 100.0 * (1.0 - correct[:, :kk].any(axis=1).mean())
+        out[f"top{k}_err"] = err
+    return out
+
+
+def make_supervised_train_step(model, cfg, mesh, loss_fn):
+    is_ek = cfg.TRAIN.DATASET == "epickitchens"
+
+    def train_step(state, video, labels, metadata, base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def compute_loss(params):
+            variables = {"params": params}
+            has_bn = state.batch_stats is not None
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(
+                variables, video, metadata, train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if has_bn else False,
+            )
+            preds, new_vars = out if has_bn else (out, {})
+            loss = loss_fn(preds, labels)
+            return loss, (preds, new_vars)
+
+        (loss, (preds, new_vars)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads)
+        if state.batch_stats is not None:
+            new_state = new_state.replace(batch_stats=new_vars["batch_stats"])
+        stats = {"loss": loss}
+        if not is_ek and not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
+            logits = preds[0] if isinstance(preds, tuple) else preds
+            if getattr(labels, "ndim", 1) == 1:
+                stats.update(_topk_errors_device(logits, labels))
+        return new_state, stats
+
+    data = mesh_lib.batch_sharded(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(None, data, data, data, None),
+        donate_argnums=(0,),
+    )
+
+
+def make_supervised_eval_step(model, cfg, mesh):
+    def eval_step(state, video, metadata):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, video, metadata, train=False)
+
+    data = mesh_lib.batch_sharded(mesh)
+    return jax.jit(eval_step, in_shardings=(None, data, data))
+
+
+def _split_batch(batch):
+    """Normalise loader output to (video, labels, metadata)."""
+    if isinstance(batch, (tuple, list)):
+        if len(batch) == 2:
+            return batch[0], batch[1], {}
+        if len(batch) >= 4:
+            return batch[0], batch[1], batch[3]
+        return batch[0], batch[1], {}
+    return batch, None, {}
+
+
+def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
+    video, labels, metadata = _split_batch(sample_batch)
+    variables = init_model(model, cfg, (jnp.asarray(video), metadata))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    no_wd = ("pos_embed", "cls_token", "temp_embed", "st_embed")
+    tx = optim.construct_optimizer(
+        params, cfg, steps_per_epoch, no_weight_decay_paths=no_wd
+    )
+    state = TrainState.create(params, tx, batch_stats=batch_stats)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    logger.info(
+        f"{cfg.MODEL.MODEL_NAME} initialised: {n_params / 1e6:.2f}M params"
+    )
+    return state
+
+
+def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
+                base_rng):
+    data_size = len(train_loader)
+    train_meter.iter_tic()
+    for cur_iter, batch in enumerate(train_loader):
+        video, labels, metadata = _split_batch(batch)
+        train_meter.data_toc()
+        state, stats = train_step(state, video, labels, metadata, base_rng)
+        if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
+            host = {k: float(v) for k, v in jax.device_get(stats).items()}
+            epoch_f = cur_epoch + float(cur_iter) / data_size
+            lr = lr_policy.get_lr_at_epoch(cfg, epoch_f)["lr"]
+            train_meter.update_stats(
+                host.get("top1_err"), host.get("top5_err"), host["loss"], lr,
+                video.shape[0],
+            )
+        train_meter.iter_toc()
+        train_meter.log_iter_stats(cur_epoch, cur_iter)
+        train_meter.iter_tic()
+    train_meter.log_epoch_stats(cur_epoch)
+    train_meter.reset()
+    return state
+
+
+def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
+    val_meter.reset()
+    for cur_iter, batch in enumerate(val_loader):
+        video, labels, metadata = _split_batch(batch)
+        val_meter.iter_tic()
+        preds = eval_step(state, video, metadata)
+        logits = preds[0] if isinstance(preds, tuple) else preds
+        logits_h = np.asarray(jax.device_get(logits))
+        labels_h = np.asarray(jax.device_get(labels))
+        from focus_tpu.utils import metrics
+
+        errs = metrics.topk_errors(logits_h, labels_h, (1, 5))
+        val_meter.update_stats(errs[0], errs[1], logits_h.shape[0])
+        val_meter.update_predictions(logits_h, labels_h)
+        val_meter.iter_toc()
+        val_meter.log_iter_stats(cur_epoch, cur_iter)
+    val_meter.log_epoch_stats(cur_epoch)
+
+
+def train(cfg):
+    """Supervised training entry (reference train_net.py:573-747)."""
+    mesh_lib.init_distributed(cfg)
+    np.random.seed(cfg.RNG_SEED)
+    logging.setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Train with config:")
+    logger.info(cfg.dump())
+
+    mesh = mesh_lib.build_mesh(cfg)
+    model = build_model(cfg)
+    data_sh = mesh_lib.batch_sharded(mesh)
+    train_loader = data_loader.construct_loader(cfg, "train", sharding=data_sh)
+    val_loader = data_loader.construct_loader(cfg, "val", sharding=data_sh)
+
+    sample = next(iter(train_loader))
+    state = build_supervised_state(cfg, model, mesh, sample, len(train_loader))
+
+    start_epoch = 0
+    ckpt_dir = cfg.OUTPUT_DIR
+    if cfg.TRAIN.AUTO_RESUME and cu.has_checkpoint(ckpt_dir):
+        state, start_epoch = cu.load_checkpoint(
+            cu.get_last_checkpoint(ckpt_dir), state
+        )
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+    elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        state, start_epoch = cu.load_train_checkpoint(cfg, state)
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    loss_fn = losses_lib.get_loss_func(cfg)
+    train_step = make_supervised_train_step(model, cfg, mesh, loss_fn)
+    eval_step = make_supervised_eval_step(model, cfg, mesh)
+    base_rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    train_meter = TrainMeter(len(train_loader), cfg)
+    val_meter = ValMeter(len(val_loader), cfg)
+    writer = TensorboardWriter(cfg) if jax.process_index() == 0 else None
+    epoch_timer = EpochTimer()
+
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        data_loader.shuffle_dataset(train_loader, cur_epoch)
+        epoch_timer.epoch_tic()
+        state = train_epoch(
+            train_loader, state, train_step, train_meter, cur_epoch, cfg,
+            base_rng,
+        )
+        epoch_timer.epoch_toc()
+        logger.info(
+            f"Epoch {cur_epoch} takes {epoch_timer.last_epoch_time():.2f}s."
+        )
+        if cu.is_checkpoint_epoch(cfg, cur_epoch):
+            cu.save_checkpoint(ckpt_dir, state, cur_epoch + 1, cfg)
+        if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
+            cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
+        ):
+            eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg)
+
+    if writer is not None:
+        writer.close()
+    return state

@@ -299,10 +299,9 @@ class Motionformer(nn.Module):
                 (1, self.temporal_resolution, self.embed_dim),
             )
 
-        dpr = [
-            float(r) for r in
-            jnp.linspace(0, c.MF.DROP_PATH, self.depth)
-        ]
+        import numpy as _np
+
+        dpr = [float(r) for r in _np.linspace(0, c.MF.DROP_PATH, self.depth)]
         blocks = []
         for i in range(self.depth):
             if i in c.ORVIT.LAYERS:

@@ -1,0 +1,229 @@
+"""Torch checkpoint -> flax pytree importer.
+
+Ingests the reference's ``.pyth``/``.pt`` torch pickles (reference
+``slowfast/utils/checkpoint.py:201-394``: checkpoints carry a
+``model_state`` dict of dotted torch names) and maps them onto our flax
+parameter trees.
+
+The mapping is generated from the *flax* side: every flax leaf path is
+translated to its expected torch name by deterministic rules (module
+renames + kernel/weight transposition), so unmapped or shape-mismatched
+entries are reported explicitly instead of silently skipped (shape-matched
+partial load like the reference's :364-382 is available via
+``allow_missing``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+from focus_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+# flax module-path component -> torch name component
+_RENAMES = {
+    "pre_logits_fc": "pre_logits.fc",
+    "dict_emb": "dict.dictionary",
+}
+# two-layer no-bias MLPs stored as torch Sequential (fc1->0, fc2->2)
+_SEQ_MLPS = ("patch_to_d", "c_coord_to_feature")
+
+
+def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], Any]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]):
+    tree: Dict[str, Any] = {}
+    for path, v in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return tree
+
+
+def flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
+    """Translate a flax param path to (torch_name, kind).
+
+    kind in {linear, conv, ln_scale, bias, raw, embed} controls the
+    layout transform applied to the torch tensor.
+    """
+    parts: List[str] = []
+    leaf = path[-1]
+    mods = path[:-1]
+    for i, m in enumerate(mods):
+        if m.startswith("blocks_"):
+            parts.append("blocks." + m[len("blocks_"):])
+        elif m in _RENAMES:
+            parts.append(_RENAMES[m])
+        elif m == "fc1" and parts and parts[-1].split(".")[-1] in _SEQ_MLPS:
+            parts.append("0")
+        elif m == "fc2" and parts and parts[-1].split(".")[-1] in _SEQ_MLPS:
+            parts.append("2")
+        else:
+            parts.append(m)
+    base = ".".join(parts)
+
+    if leaf == "kernel":
+        return base + ".weight", "linear"
+    if leaf == "scale":
+        return base + ".weight", "ln_scale"
+    if leaf == "bias":
+        return base + ".bias", "bias"
+    if leaf == "embedding":
+        return base + ".weight", "embed"
+    # bare parameters (cls_token, pos_embed, box_categories, ...)
+    return ".".join(parts + [leaf]), "raw"
+
+
+def _convert(tensor: np.ndarray, kind: str, target_shape) -> np.ndarray:
+    t = np.asarray(tensor)
+    if kind == "linear":
+        if t.ndim == 2:
+            t = t.T
+        elif t.ndim == 5:  # conv3d [O, I, kT, kH, kW] -> [kT, kH, kW, I, O]
+            t = t.transpose(2, 3, 4, 1, 0)
+        elif t.ndim == 4:  # conv2d [O, I, kH, kW] -> [kH, kW, I, O]
+            t = t.transpose(2, 3, 1, 0)
+    if tuple(t.shape) != tuple(target_shape):
+        raise ValueError(f"shape {t.shape} vs target {tuple(target_shape)}")
+    return t
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict):
+        for key in ("model_state", "state_dict", "model"):
+            if key in payload:
+                payload = payload[key]
+                break
+    return {
+        k.replace("module.", "", 1) if k.startswith("module.") else k:
+            v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in payload.items()
+    }
+
+
+def import_torch_params(
+    state_dict: Dict[str, np.ndarray],
+    params,
+    split_qkv: bool = False,
+    orvit_attn_from_backbone: bool = False,
+    allow_missing: bool = True,
+):
+    """Map a torch state_dict onto a flax params tree.
+
+    Returns (new_params, report) where report lists loaded / missing /
+    unused names.
+    """
+    sd = dict(state_dict)
+    if split_qkv:
+        sd = _merge_split_qkv(sd)
+    if orvit_attn_from_backbone:
+        sd = _copy_backbone_attn_to_orvit(sd, params)
+
+    flat = _flatten(params)
+    new_flat = {}
+    loaded, missing = [], []
+    used = set()
+    for path, leaf in flat.items():
+        tname, kind = flax_path_to_torch(path)
+        if tname in sd:
+            try:
+                new_flat[path] = _convert(sd[tname], kind, leaf.shape).astype(
+                    np.asarray(leaf).dtype
+                )
+                loaded.append(tname)
+                used.add(tname)
+                continue
+            except ValueError as e:
+                logger.warning(f"Shape mismatch for {tname}: {e}")
+        missing.append(".".join(path))
+        new_flat[path] = leaf
+    unused = [k for k in sd if k not in used]
+    report = {"loaded": loaded, "missing": missing, "unused": unused}
+    if missing:
+        msg = f"{len(missing)} params not found in checkpoint: {missing[:8]}..."
+        if allow_missing:
+            logger.warning(msg)
+        else:
+            raise KeyError(msg)
+    logger.info(
+        f"torch import: {len(loaded)} loaded, {len(missing)} missing, "
+        f"{len(unused)} unused"
+    )
+    return _unflatten(new_flat), report
+
+
+def _merge_split_qkv(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reference SPLIT_QKV_CHECKPOINT support (checkpoint.py:586-596):
+    checkpoints that store q/k/v separately are fused back to qkv."""
+    out = dict(sd)
+    for k in list(sd):
+        if k.endswith(".q.weight"):
+            base = k[: -len(".q.weight")]
+            qkv = np.concatenate(
+                [sd[f"{base}.{x}.weight"] for x in "qkv"], axis=0
+            )
+            out[base + ".qkv.weight"] = qkv
+            if f"{base}.q.bias" in sd:
+                out[base + ".qkv.bias"] = np.concatenate(
+                    [sd[f"{base}.{x}.bias"] for x in "qkv"], axis=0
+                )
+    return out
+
+
+def _copy_backbone_attn_to_orvit(sd, params) -> Dict[str, np.ndarray]:
+    """Reference ORVIT.LOAD_ORVIT_ATTN_LAYERS_FROM_BB (checkpoint.py:356-363):
+    when a plain-backbone checkpoint initialises an ORViT model, each ORViT
+    block's trajectory attention is seeded from the backbone block's."""
+    out = dict(sd)
+    orvit_blocks = [
+        name for name, sub in params.items()
+        if name.startswith("blocks_") and isinstance(sub, dict)
+        and "box_categories" in sub
+    ]
+    for name in orvit_blocks:
+        i = name[len("blocks_"):]
+        for suffix in (
+            "attn.qkv.weight", "attn.qkv.bias", "attn.proj_q.weight",
+            "attn.proj_q.bias", "attn.proj_kv.weight", "attn.proj_kv.bias",
+            "attn.proj.weight", "attn.proj.bias",
+            "norm1.weight", "norm1.bias", "norm2.weight", "norm2.bias",
+            "mlp.fc1.weight", "mlp.fc1.bias", "mlp.fc2.weight", "mlp.fc2.bias",
+        ):
+            src = f"blocks.{i}.{suffix}"
+            if src in sd and f"blocks.{i}.crop_layer" not in sd:
+                out.setdefault(src, sd[src])
+    return out
+
+
+def load_into_state(path: str, state_template, cfg):
+    """Load a torch checkpoint into a TrainState (params only)."""
+    sd = load_torch_state_dict(path)
+    new_params, _ = import_torch_params(
+        sd,
+        state_template.params,
+        split_qkv=bool(getattr(cfg, "SPLIT_QKV_CHECKPOINT", False)),
+        orvit_attn_from_backbone=bool(cfg.ORVIT.LOAD_ORVIT_ATTN_LAYERS_FROM_BB)
+        if cfg.ORVIT.ENABLE
+        else False,
+    )
+    import jax.numpy as jnp
+
+    new_params = _unflatten(
+        {p: jnp.asarray(v) for p, v in _flatten(new_params).items()}
+    )
+    return state_template.replace(params=new_params)

@@ -1,0 +1,24 @@
+#!/usr/bin/env python3
+"""Standalone supervised training entry (reference ``tools/train_net.py``)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from focus_tpu.config.defaults import assert_and_infer_cfg
+from focus_tpu.engine.trainer import train
+from focus_tpu.utils.parser import load_config, parse_args
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    cfg = assert_and_infer_cfg(cfg)
+    cfg.EXP.NAME = args.exp_name
+    cfg.EXP.PATH = os.path.join(cfg.OUTPUT_DIR, args.exp_name)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
