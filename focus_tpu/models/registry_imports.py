@@ -12,10 +12,6 @@ try:
 except ImportError:
     pass
 try:
-    import focus_tpu.models.resnet_video  # noqa: F401
-except ImportError:
-    pass
-try:
-    import focus_tpu.models.x3d  # noqa: F401
+    import focus_tpu.models.resnet_video  # noqa: F401  (ResNet/SlowFast/X3D)
 except ImportError:
     pass
