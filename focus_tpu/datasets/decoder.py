@@ -1,0 +1,80 @@
+"""Video decoding (counterpart of reference ``slowfast/datasets/decoder.py``).
+
+The reference uses PyAV/torchvision (neither available here); decode goes
+through OpenCV's FFmpeg bindings instead. Temporal sampling semantics are
+kept: ``get_start_end_idx`` places the clip (random for train, uniform for
+multi-view test) and ``temporal_sampling`` linspace-samples NUM_FRAMES.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from focus_tpu.utils import logging
+
+logger = logging.get_logger(__name__)
+
+
+def temporal_sampling(frames: np.ndarray, start_idx, end_idx, num_samples):
+    """linspace index-select (reference decoder.py:11-28)."""
+    index = np.linspace(start_idx, end_idx, num_samples)
+    index = np.clip(index, 0, frames.shape[0] - 1).astype(np.int64)
+    return frames[index]
+
+
+def get_start_end_idx(video_size, clip_size, clip_idx, num_clips, rng=None):
+    """(reference decoder.py:31-69)"""
+    delta = max(video_size - clip_size, 0)
+    if clip_idx == -1:
+        rng = rng or np.random.RandomState()
+        start_idx = rng.uniform(0, delta)
+    else:
+        start_idx = delta * clip_idx / num_clips
+    end_idx = start_idx + clip_size - 1
+    return start_idx, end_idx
+
+
+def decode_video_cv2(path: str, max_frames: int = 100000):
+    """Decode all frames of a video file to [T, H, W, C] uint8 RGB."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None, 30.0
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frames = []
+    while len(frames) < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame[:, :, ::-1])  # BGR -> RGB
+    cap.release()
+    if not frames:
+        return None, fps
+    return np.stack(frames), fps
+
+
+def decode(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int = -1,
+    num_clips: int = 10,
+    target_fps: int = 30,
+    rng=None,
+):
+    """Decode + temporally sample a clip (reference decoder.py:305-390).
+
+    Returns [num_frames, H, W, C] uint8 or None on failure."""
+    try:
+        frames, fps = decode_video_cv2(path)
+    except Exception as e:  # noqa: BLE001
+        logger.warning(f"Failed to decode {path}: {e}")
+        return None
+    if frames is None:
+        return None
+    clip_size = sampling_rate * num_frames / target_fps * fps
+    start_idx, end_idx = get_start_end_idx(
+        frames.shape[0], clip_size, clip_idx, num_clips, rng
+    )
+    return temporal_sampling(frames, start_idx, end_idx, num_frames)
