@@ -12,9 +12,19 @@ a generous torch-eager A100 estimate). Target from the driver: >=3x.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: flagship-model compiles through the axon
+# remote-compile tunnel take minutes; cache them next to the repo.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
