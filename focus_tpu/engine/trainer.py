@@ -42,11 +42,65 @@ def _topk_errors_device(logits, labels, ks=(1, 5)):
     return out
 
 
+def _device_mixup(rng, video, labels, cfg):
+    """MixUp/CutMix inside the jitted step (reference applies it on host in
+    the train loop, train_net.py:58-80; elementwise mixing is cheaper on
+    device). Returns (video, soft_labels)."""
+    n_classes = cfg.MODEL.NUM_CLASSES
+    smoothing = cfg.MIXUP.LABEL_SMOOTH_VALUE
+    k_lam, k_use, k_switch, k_box = jax.random.split(rng, 4)
+    use_mix = jax.random.uniform(k_use) < cfg.MIXUP.PROB
+    use_cutmix = jnp.logical_and(
+        cfg.MIXUP.CUTMIX_ALPHA > 0.0,
+        jnp.logical_or(
+            cfg.MIXUP.ALPHA <= 0.0,
+            jax.random.uniform(k_switch) < cfg.MIXUP.SWITCH_PROB,
+        ),
+    )
+    alpha_mix = max(cfg.MIXUP.ALPHA, 1e-8)
+    alpha_cut = max(cfg.MIXUP.CUTMIX_ALPHA, 1e-8)
+    lam_mix = jax.random.beta(k_lam, alpha_mix, alpha_mix)
+    lam_cut = jax.random.beta(k_lam, alpha_cut, alpha_cut)
+    lam = jnp.where(use_cutmix, lam_cut, lam_mix)
+    lam = jnp.where(use_mix, lam, 1.0)
+
+    flipped = jnp.flip(video, axis=0)
+    H, W = video.shape[-3], video.shape[-2]
+    ratio = jnp.sqrt(1.0 - lam)
+    cut_h = (H * ratio).astype(jnp.int32)
+    cut_w = (W * ratio).astype(jnp.int32)
+    cy = jax.random.randint(k_box, (), 0, H)
+    cx = jax.random.randint(jax.random.fold_in(k_box, 1), (), 0, W)
+    y1, y2 = jnp.clip(cy - cut_h // 2, 0, H), jnp.clip(cy + cut_h // 2, 0, H)
+    x1, x2 = jnp.clip(cx - cut_w // 2, 0, W), jnp.clip(cx + cut_w // 2, 0, W)
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    in_box = ((ys >= y1) & (ys < y2) & (xs >= x1) & (xs < x2))[..., None]
+    cut_video = jnp.where(in_box, flipped, video)
+    lam_cut_actual = 1.0 - ((y2 - y1) * (x2 - x1)) / (H * W)
+    mix_video = video * lam + flipped * (1.0 - lam)
+    video = jnp.where(use_cutmix & use_mix, cut_video,
+                      jnp.where(use_mix, mix_video, video))
+    lam_final = jnp.where(use_cutmix & use_mix, lam_cut_actual, lam)
+
+    on = 1.0 - smoothing + smoothing / n_classes
+    off = smoothing / n_classes
+    y1h = jax.nn.one_hot(labels, n_classes) * (on - off) + off
+    y2h = jax.nn.one_hot(labels[::-1], n_classes) * (on - off) + off
+    soft = y1h * lam_final + y2h * (1.0 - lam_final)
+    return video, soft
+
+
 def make_supervised_train_step(model, cfg, mesh, loss_fn):
     is_ek = cfg.TRAIN.DATASET == "epickitchens"
+    use_mixup = cfg.MIXUP.ENABLE and not is_ek and not cfg.DETECTION.ENABLE
 
     def train_step(state, video, labels, metadata, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
+        hard_labels = labels
+        if use_mixup:
+            k_mix, rng = jax.random.split(rng)
+            video, labels = _device_mixup(k_mix, video, labels, cfg)
 
         def compute_loss(params):
             variables = {"params": params}
@@ -71,8 +125,8 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn):
         stats = {"loss": loss}
         if not is_ek and not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
             logits = preds[0] if isinstance(preds, tuple) else preds
-            if getattr(labels, "ndim", 1) == 1:
-                stats.update(_topk_errors_device(logits, labels))
+            if getattr(hard_labels, "ndim", 1) == 1:
+                stats.update(_topk_errors_device(logits, hard_labels))
         return new_state, stats
 
     data = mesh_lib.batch_sharded(mesh)
@@ -215,11 +269,22 @@ def train(cfg):
         logger.info(
             f"Epoch {cur_epoch} takes {epoch_timer.last_epoch_time():.2f}s."
         )
-        if cu.is_checkpoint_epoch(cfg, cur_epoch):
-            cu.save_checkpoint(ckpt_dir, state, cur_epoch + 1, cfg)
-        if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
+        is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch)
+        is_eval = (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
             cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
+        )
+        if (is_checkp or is_eval) and cfg.BN.USE_PRECISE_STATS and (
+            state.batch_stats is not None
         ):
+            from focus_tpu.engine.precise_bn import compute_precise_bn_stats
+
+            state = compute_precise_bn_stats(
+                model, state, train_loader, cfg.BN.NUM_BATCHES_PRECISE,
+                _split_batch,
+            )
+        if is_checkp:
+            cu.save_checkpoint(ckpt_dir, state, cur_epoch + 1, cfg)
+        if is_eval:
             eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg)
 
     if writer is not None:

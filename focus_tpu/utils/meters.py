@@ -280,6 +280,270 @@ class ValMeter:
         logging.log_json_stats(stats)
 
 
+class EPICTrainMeter:
+    """Verb/noun/action training stats (reference meters.py:762-949)."""
+
+    def __init__(self, epoch_iters, cfg):
+        self.cfg = cfg
+        self.epoch_iters = epoch_iters
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.loss_verb = ScalarMeter(cfg.LOG_PERIOD)
+        self.loss_noun = ScalarMeter(cfg.LOG_PERIOD)
+        self.lr = None
+        self.acc = {
+            k: ScalarMeter(cfg.LOG_PERIOD)
+            for k in ("verb_top1", "verb_top5", "noun_top1", "noun_top5",
+                      "action_top1", "action_top5")
+        }
+        self.totals = {k: 0.0 for k in self.acc}
+        self.num_samples = 0
+        self.loss_total = 0.0
+
+    def reset(self):
+        for m in self.acc.values():
+            m.reset()
+        self.totals = {k: 0.0 for k in self.acc}
+        self.num_samples = 0
+        self.loss_total = 0.0
+        self.loss.reset()
+        self.loss_verb.reset()
+        self.loss_noun.reset()
+
+    def update_stats(self, top1_acc, top5_acc, loss, lr, mb_size):
+        """top1_acc/top5_acc: (verb, noun, action) tuples; loss: (verb,
+        noun, action)."""
+        for i, k in enumerate(("verb", "noun", "action")):
+            self.acc[f"{k}_top1"].add_value(top1_acc[i])
+            self.acc[f"{k}_top5"].add_value(top5_acc[i])
+            self.totals[f"{k}_top1"] += top1_acc[i] * mb_size
+            self.totals[f"{k}_top5"] += top5_acc[i] * mb_size
+        self.loss_verb.add_value(loss[0])
+        self.loss_noun.add_value(loss[1])
+        self.loss.add_value(loss[2])
+        self.loss_total += loss[2] * mb_size
+        self.lr = lr
+        self.num_samples += mb_size
+
+    def log_iter_stats(self, cur_epoch, cur_iter):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        logging.log_json_stats(
+            {
+                "_type": "train_iter",
+                "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+                "iter": f"{cur_iter + 1}/{self.epoch_iters}",
+                "loss": self.loss.get_win_median(),
+                "verb_top1_acc": self.acc["verb_top1"].get_win_median(),
+                "noun_top1_acc": self.acc["noun_top1"].get_win_median(),
+                "action_top1_acc": self.acc["action_top1"].get_win_median(),
+                "lr": self.lr,
+            }
+        )
+
+    def log_epoch_stats(self, cur_epoch):
+        n = max(self.num_samples, 1)
+        logging.log_json_stats(
+            {
+                "_type": "train_epoch",
+                "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+                "loss": self.loss_total / n,
+                **{k: v / n for k, v in self.totals.items()},
+                "lr": self.lr,
+            }
+        )
+
+
+class EPICValMeter:
+    """(reference meters.py:952-1131)"""
+
+    def __init__(self, max_iter, cfg):
+        self.cfg = cfg
+        self.max_iter = max_iter
+        self.acc = {
+            k: ScalarMeter(cfg.LOG_PERIOD)
+            for k in ("verb_top1", "verb_top5", "noun_top1", "noun_top5",
+                      "action_top1", "action_top5")
+        }
+        self.totals = {k: 0.0 for k in self.acc}
+        self.num_samples = 0
+        self.max_top1_acc = {"verb": 0.0, "noun": 0.0, "action": 0.0}
+
+    def reset(self):
+        for m in self.acc.values():
+            m.reset()
+        self.totals = {k: 0.0 for k in self.acc}
+        self.num_samples = 0
+
+    def update_stats(self, top1_acc, top5_acc, mb_size):
+        for i, k in enumerate(("verb", "noun", "action")):
+            self.acc[f"{k}_top1"].add_value(top1_acc[i])
+            self.acc[f"{k}_top5"].add_value(top5_acc[i])
+            self.totals[f"{k}_top1"] += top1_acc[i] * mb_size
+            self.totals[f"{k}_top5"] += top5_acc[i] * mb_size
+        self.num_samples += mb_size
+
+    def log_iter_stats(self, cur_epoch, cur_iter):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        logging.log_json_stats(
+            {
+                "_type": "val_iter",
+                "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+                "iter": f"{cur_iter + 1}/{self.max_iter}",
+                "verb_top1_acc": self.acc["verb_top1"].get_win_median(),
+                "noun_top1_acc": self.acc["noun_top1"].get_win_median(),
+                "action_top1_acc": self.acc["action_top1"].get_win_median(),
+            }
+        )
+
+    def log_epoch_stats(self, cur_epoch):
+        n = max(self.num_samples, 1)
+        stats = {
+            "_type": "val_epoch",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            **{k: v / n for k, v in self.totals.items()},
+        }
+        is_best = self.totals["action_top1"] / n > self.max_top1_acc["action"]
+        for k in ("verb", "noun", "action"):
+            self.max_top1_acc[k] = max(
+                self.max_top1_acc[k], self.totals[f"{k}_top1"] / n
+            )
+        logging.log_json_stats(stats)
+        return is_best
+
+
+class EPICTestMeter:
+    """Multi-view verb/noun ensemble (reference meters.py:1134-1272)."""
+
+    def __init__(self, num_videos, num_clips, num_cls, overall_iters,
+                 ensemble_method="sum"):
+        self.num_clips = num_clips
+        self.ensemble_method = ensemble_method
+        self.iter_timer = Timer()
+        self.verb_preds = np.zeros((num_videos, num_cls[0]), np.float64)
+        self.noun_preds = np.zeros((num_videos, num_cls[1]), np.float64)
+        self.verb_labels = np.zeros(num_videos, np.int64)
+        self.noun_labels = np.zeros(num_videos, np.int64)
+        self.clip_count = np.zeros(num_videos, np.int64)
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+
+    def update_stats(self, preds, labels, clip_ids):
+        verb, noun = preds
+        for i in range(verb.shape[0]):
+            vid = int(clip_ids[i]) // self.num_clips
+            self.verb_labels[vid] = labels["verb"][i]
+            self.noun_labels[vid] = labels["noun"][i]
+            if self.ensemble_method == "sum":
+                self.verb_preds[vid] += verb[i]
+                self.noun_preds[vid] += noun[i]
+            else:
+                self.verb_preds[vid] = np.maximum(self.verb_preds[vid], verb[i])
+                self.noun_preds[vid] = np.maximum(self.noun_preds[vid], noun[i])
+            self.clip_count[vid] += 1
+
+    def log_iter_stats(self, cur_iter, log_period=10):
+        if (cur_iter + 1) % log_period != 0:
+            return
+        logging.log_json_stats(
+            {"split": "test_iter", "cur_iter": cur_iter + 1}
+        )
+
+    def finalize_metrics(self, ks=(1, 5)):
+        verb_topks = metrics.topk_accuracies(self.verb_preds, self.verb_labels, ks)
+        noun_topks = metrics.topk_accuracies(self.noun_preds, self.noun_labels, ks)
+        action = metrics.multitask_topk_accuracies(
+            (self.verb_preds, self.noun_preds),
+            (self.verb_labels, self.noun_labels),
+            ks,
+        )
+        stats = {"split": "test_final"}
+        for k, v, n, a in zip(ks, verb_topks, noun_topks, action):
+            stats[f"verb_top{k}_acc"] = v
+            stats[f"noun_top{k}_acc"] = n
+            stats[f"action_top{k}_acc"] = a
+        logging.log_json_stats(stats)
+        return stats
+
+
+class AVAMeter:
+    """Buffers detection predictions for frame-mAP (reference meters.py:50-232)."""
+
+    def __init__(self, overall_iters, cfg, mode):
+        self.cfg = cfg
+        self.mode = mode
+        self.iter_timer = Timer()
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_masks = []
+        self.all_keys = []
+        self.all_labels = []
+        self.full_map = 0.0
+
+    def reset(self):
+        self.all_preds.clear()
+        self.all_ori_boxes.clear()
+        self.all_masks.clear()
+        self.all_keys.clear()
+        self.all_labels.clear()
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+
+    def update_stats(self, preds, ori_boxes, masks, video_keys, labels=None):
+        self.all_preds.extend(np.asarray(preds))
+        self.all_ori_boxes.extend(np.asarray(ori_boxes))
+        self.all_masks.extend(np.asarray(masks))
+        self.all_keys.extend(list(video_keys))
+        if labels is not None:
+            self.all_labels.extend(np.asarray(labels))
+
+    def log_iter_stats(self, cur_epoch, cur_iter):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        logging.log_json_stats(
+            {
+                "_type": f"ava_{self.mode}_iter",
+                "cur_iter": cur_iter + 1,
+                "time_diff": self.iter_timer.seconds(),
+            }
+        )
+
+    def finalize_metrics(self):
+        from focus_tpu.utils import ava_eval
+
+        groundtruth = []
+        for boxes, mask, key, labels in zip(
+            self.all_ori_boxes, self.all_masks, self.all_keys, self.all_labels
+        ):
+            valid = mask > 0
+            b = boxes[valid]
+            l = labels[valid]
+            rows_b, rows_c = [], []
+            for bi in range(len(b)):
+                for c in np.nonzero(l[bi])[0]:
+                    rows_b.append(b[bi])
+                    rows_c.append(c + 1)
+            if rows_b:
+                groundtruth.append(
+                    (key, np.asarray(rows_b), np.asarray(rows_c))
+                )
+        result = ava_eval.run_evaluation_from_buffers(
+            self.all_preds, self.all_ori_boxes, self.all_masks, self.all_keys,
+            self.cfg.MODEL.NUM_CLASSES, groundtruth=groundtruth,
+        )
+        self.full_map = result["map"]
+        logging.log_json_stats({"_type": "ava_final", "map": self.full_map})
+        return result
+
+
 class TestMeter:
     """Multi-view ensemble meter (reference meters.py:235-408): sums or
     maxes per-view softmax scores into per-video predictions."""
