@@ -73,6 +73,7 @@ class TrajectoryAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_original_code: bool = True
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -105,7 +106,14 @@ class TrajectoryAttention(nn.Module):
             q_, k_, v_ = q, k, v
 
         # stage 1: spatial attention within each frame, all frames
-        xs = attn_ops.space_stage(q_, k_, v_, F, scale)  # [(B h), S, F, d]
+        if self.use_pallas:
+            from focus_tpu.ops.pallas.trajectory_attention import (
+                space_stage as pallas_space_stage,
+            )
+
+            xs = pallas_space_stage(q_, k_, v_, F, scale)
+        else:
+            xs = attn_ops.space_stage(q_, k_, v_, F, scale)  # [(B h), S, F, d]
         S = xs.shape[1]
         # '(b h) s f d -> b s f (h d)'
         xs = xs.reshape(B, h, S, F, hd).transpose(0, 2, 3, 1, 4).reshape(B, S, F, C)
@@ -138,13 +146,15 @@ class TrajectoryAttentionBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     use_original_code: bool = True
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, metadata, thw, deterministic: bool = True):
         y, _ = TrajectoryAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
-            self.drop, self.use_original_code, dtype=self.dtype, name="attn",
+            self.drop, self.use_original_code, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="attn",
         )(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
             thw, deterministic=deterministic,
@@ -331,6 +341,7 @@ class Motionformer(nn.Module):
                         drop=c.MF.DROP,
                         attn_drop=c.MF.ATTN_DROPOUT,
                         drop_path_rate=dpr[i],
+                        use_pallas=bool(c.TPU.USE_PALLAS),
                         dtype=self.dtype,
                         name=f"blocks_{i}",
                     )
@@ -356,8 +367,8 @@ class Motionformer(nn.Module):
         self.pos_dropout = c.MF.POS_DROPOUT
         self.head_dropout = c.MF.HEAD_DROPOUT
 
-    def forward_features(self, x, metadata, train: bool = False):
-        """x: [B, T, H, W, C] -> pooled feature [B, d]."""
+    def tokenize(self, x, train: bool = False):
+        """Patch-embed + CLS + positional embeddings -> (tokens, thw)."""
         c = self.cfg
         B = x.shape[0]
         tokens, (t_, h_, w_) = self.patch_embed_3d(x)
@@ -385,6 +396,12 @@ class Motionformer(nn.Module):
             tokens = nn.Dropout(self.pos_dropout, deterministic=False)(tokens)
 
         thw = (self.temporal_resolution, int(npatch ** 0.5), int(npatch ** 0.5))
+        return tokens, thw
+
+    def forward_features(self, x, metadata, train: bool = False):
+        """x: [B, T, H, W, C] -> pooled feature [B, d]."""
+        c = self.cfg
+        tokens, thw = self.tokenize(x, train=train)
         for blk in self.blocks:
             tokens, _ = blk(tokens, metadata, thw, deterministic=not train)
         feat = self.norm(tokens)[:, 0]
