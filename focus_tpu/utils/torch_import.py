@@ -116,6 +116,41 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     }
 
 
+def apply_name_patterns(sd: Dict[str, np.ndarray], clear_patterns=(),
+                        replace_patterns=()) -> Dict[str, np.ndarray]:
+    """TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN / REPLACE_NAME_PATTERN support
+    (reference checkpoint.py:327-355)."""
+    out = {}
+    for k, v in sd.items():
+        for pat in clear_patterns:
+            k = k.replace(pat, "")
+        for pat in replace_patterns:
+            src, dst = pat
+            k = k.replace(src, dst)
+        out[k] = v
+    return out
+
+
+def inflate_2d_to_3d(sd: Dict[str, np.ndarray], params) -> Dict[str, np.ndarray]:
+    """2D->3D conv inflation (reference checkpoint.py:162-198): a [O,I,kh,kw]
+    conv kernel destined for a 3D conv is tiled along time and divided by
+    the temporal extent."""
+    flat = _flatten(params)
+    want = {}
+    for path, leaf in flat.items():
+        tname, kind = flax_path_to_torch(path)
+        if kind == "linear" and np.ndim(leaf) == 5:
+            want[tname] = leaf.shape  # flax [kt,kh,kw,I,O]
+    out = dict(sd)
+    for tname, tgt in want.items():
+        if tname in sd and np.ndim(sd[tname]) == 4:
+            w2d = sd[tname]  # [O, I, kh, kw]
+            kt = tgt[0]
+            w3d = np.repeat(w2d[:, :, None], kt, axis=2) / float(kt)
+            out[tname] = w3d
+    return out
+
+
 def import_torch_params(
     state_dict: Dict[str, np.ndarray],
     params,
@@ -213,6 +248,13 @@ def _copy_backbone_attn_to_orvit(sd, params) -> Dict[str, np.ndarray]:
 def load_into_state(path: str, state_template, cfg):
     """Load a torch checkpoint into a TrainState (params only)."""
     sd = load_torch_state_dict(path)
+    sd = apply_name_patterns(
+        sd,
+        clear_patterns=tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN or ()),
+        replace_patterns=tuple(cfg.TRAIN.CHECKPOINT_REPLACE_NAME_PATTERN or ()),
+    )
+    if cfg.TRAIN.CHECKPOINT_INFLATE:
+        sd = inflate_2d_to_3d(sd, state_template.params)
     new_params, _ = import_torch_params(
         sd,
         state_template.params,
