@@ -505,6 +505,9 @@ _DEFAULTS = {
         "PREFETCH": 2,
         # use Pallas kernels for hot ops when running on TPU.
         "USE_PALLAS": True,
+        # run consecutive identical transformer blocks as one lax.scan with
+        # stacked params (constant compile size/time in depth).
+        "SCAN_LAYERS": True,
     },
 }
 

@@ -91,9 +91,22 @@ def _device_mixup(rng, video, labels, cfg):
     return video, soft
 
 
+def _detection_loss(preds, labels, mask):
+    """Masked BCE over per-box class probabilities (the RoI head applies
+    sigmoid; reference uses 'bce' for AVA). preds: [B,O,C],
+    labels: [B,O,C], mask: [B,O]."""
+    eps = 1e-7
+    p = jnp.clip(preds, eps, 1 - eps)
+    labels = labels.astype(p.dtype)
+    bce = -(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p)).mean(-1)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (bce * mask).sum() / denom
+
+
 def make_supervised_train_step(model, cfg, mesh, loss_fn):
     is_ek = cfg.TRAIN.DATASET == "epickitchens"
-    use_mixup = cfg.MIXUP.ENABLE and not is_ek and not cfg.DETECTION.ENABLE
+    detection = cfg.DETECTION.ENABLE
+    use_mixup = cfg.MIXUP.ENABLE and not is_ek and not detection
 
     def train_step(state, video, labels, metadata, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
@@ -107,6 +120,17 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn):
             has_bn = state.batch_stats is not None
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
+            if detection:
+                out = model.apply(
+                    variables, video, metadata, metadata["boxes"],
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"] if has_bn else False,
+                )
+                preds, new_vars = out if has_bn else (out, {})
+                loss = _detection_loss(
+                    preds, labels, metadata["boxes_mask"]
+                )
+                return loss, (preds, new_vars)
             out = model.apply(
                 variables, video, metadata, train=True,
                 rngs={"dropout": rng},
@@ -138,10 +162,16 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn):
 
 
 def make_supervised_eval_step(model, cfg, mesh):
+    detection = cfg.DETECTION.ENABLE
+
     def eval_step(state, video, metadata):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
+        if detection:
+            return model.apply(
+                variables, video, metadata, metadata["boxes"], train=False
+            )
         return model.apply(variables, video, metadata, train=False)
 
     data = mesh_lib.batch_sharded(mesh)
@@ -161,7 +191,13 @@ def _split_batch(batch):
 
 def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
     video, labels, metadata = _split_batch(sample_batch)
-    variables = init_model(model, cfg, (jnp.asarray(video), metadata))
+    video = jax.tree_util.tree_map(jnp.asarray, video)
+    if cfg.DETECTION.ENABLE:
+        variables = init_model(
+            model, cfg, (video, metadata, metadata["boxes"])
+        )
+    else:
+        variables = init_model(model, cfg, (video, metadata))
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     no_wd = ("pos_embed", "cls_token", "temp_embed", "st_embed")

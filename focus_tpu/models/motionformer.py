@@ -58,10 +58,20 @@ class DropPath(nn.Module):
     drop_prob: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.drop_prob == 0.0 or deterministic:
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        """rate overrides drop_prob (traced value; used by scanned layer
+        stacks where the stochastic-depth rate varies per layer)."""
+        if rate is None:
+            if self.drop_prob == 0.0 or deterministic:
+                return x
+            return drop_path(self.make_rng("dropout"), x, self.drop_prob)
+        if deterministic:
             return x
-        return drop_path(self.make_rng("dropout"), x, self.drop_prob)
+        keep = 1.0 - rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jax.random.uniform(self.make_rng("dropout"),
+                                                   shape, x.dtype))
+        return x / keep * mask
 
 
 class TrajectoryAttention(nn.Module):
@@ -169,6 +179,84 @@ class TrajectoryAttentionBlock(nn.Module):
             deterministic=deterministic,
         )
         x = x + dp(y, deterministic=deterministic)
+        return x, thw
+
+
+class _TrajBlockScanBody(nn.Module):
+    """Scan body: one trajectory block with the per-layer stochastic-depth
+    rate as a scanned input. thw/deterministic are static attributes; the
+    carried value is the token tensor."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    thw: Any
+    deterministic: bool
+    use_original_code: bool = True
+    use_pallas: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, dpr_i):
+        y, _ = TrajectoryAttention(
+            self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
+            self.drop, self.use_original_code, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="attn",
+        )(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
+            tuple(self.thw), deterministic=self.deterministic,
+        )
+        dp = DropPath(name="drop_path")
+        x = x + dp(y, deterministic=self.deterministic, rate=dpr_i)
+        y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
+                dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
+            deterministic=self.deterministic,
+        )
+        x = x + dp(y, deterministic=self.deterministic, rate=dpr_i)
+        return x, None
+
+
+class ScannedTrajBlocks(nn.Module):
+    """A contiguous run of identical trajectory-attention blocks executed
+    as one lax.scan with stacked parameters — the compiled program contains
+    a single block body regardless of depth. Param leaves carry a leading
+    layer axis; the torch importer stacks the corresponding per-layer
+    checkpoint tensors (see focus_tpu/utils/torch_import.py)."""
+
+    length: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dpr: Any = ()  # per-layer stochastic-depth rates, length == length
+    use_original_code: bool = True
+    use_pallas: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, metadata, thw, deterministic: bool = True):
+        scan = nn.scan(
+            _TrajBlockScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            length=self.length,
+        )
+        dpr = jnp.asarray(list(self.dpr), jnp.float32)
+        x, _ = scan(
+            dim=self.dim, num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            drop=self.drop, attn_drop=self.attn_drop, thw=tuple(thw),
+            deterministic=deterministic,
+            use_original_code=self.use_original_code,
+            use_pallas=self.use_pallas, dtype=self.dtype, name="body",
+        )(x, dpr)
         return x, thw
 
 
@@ -312,40 +400,55 @@ class Motionformer(nn.Module):
         import numpy as _np
 
         dpr = [float(r) for r in _np.linspace(0, c.MF.DROP_PATH, self.depth)]
-        blocks = []
-        for i in range(self.depth):
-            if i in c.ORVIT.LAYERS:
-                from focus_tpu.models.orvit import ORViTBlock
+        scan_layers = bool(getattr(c.TPU, "SCAN_LAYERS", True))
 
+        from focus_tpu.models.orvit import ORViTBlock
+
+        def make_orvit(i):
+            return ORViTBlock(
+                cfg=c, dim=self.embed_dim, num_heads=c.MF.NUM_HEADS,
+                mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
+                drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
+                nb_frames=self.temporal_resolution, dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+
+        def make_traj(i):
+            return TrajectoryAttentionBlock(
+                dim=self.embed_dim, num_heads=c.MF.NUM_HEADS,
+                mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
+                drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
+                drop_path_rate=dpr[i], use_pallas=bool(c.TPU.USE_PALLAS),
+                dtype=self.dtype, name=f"blocks_{i}",
+            )
+
+        blocks = []
+        i = 0
+        while i < self.depth:
+            if i in c.ORVIT.LAYERS:
+                blocks.append(make_orvit(i))
+                i += 1
+                continue
+            j = i
+            while j < self.depth and j not in c.ORVIT.LAYERS:
+                j += 1
+            if scan_layers and j - i > 1:
+                # consecutive identical blocks -> one scanned stack: the
+                # compiled program holds a single body (compile size/time
+                # stay constant in depth)
                 blocks.append(
-                    ORViTBlock(
-                        cfg=c,
-                        dim=self.embed_dim,
-                        num_heads=c.MF.NUM_HEADS,
-                        mlp_ratio=c.MF.MLP_RATIO,
-                        qkv_bias=c.MF.QKV_BIAS,
-                        drop=c.MF.DROP,
-                        attn_drop=c.MF.ATTN_DROPOUT,
-                        nb_frames=self.temporal_resolution,
-                        dtype=self.dtype,
-                        name=f"blocks_{i}",
+                    ScannedTrajBlocks(
+                        length=j - i, dim=self.embed_dim,
+                        num_heads=c.MF.NUM_HEADS, mlp_ratio=c.MF.MLP_RATIO,
+                        qkv_bias=c.MF.QKV_BIAS, drop=c.MF.DROP,
+                        attn_drop=c.MF.ATTN_DROPOUT, dpr=tuple(dpr[i:j]),
+                        use_pallas=bool(c.TPU.USE_PALLAS), dtype=self.dtype,
+                        name=f"blocks_{i}_{j - 1}",
                     )
                 )
             else:
-                blocks.append(
-                    TrajectoryAttentionBlock(
-                        dim=self.embed_dim,
-                        num_heads=c.MF.NUM_HEADS,
-                        mlp_ratio=c.MF.MLP_RATIO,
-                        qkv_bias=c.MF.QKV_BIAS,
-                        drop=c.MF.DROP,
-                        attn_drop=c.MF.ATTN_DROPOUT,
-                        drop_path_rate=dpr[i],
-                        use_pallas=bool(c.TPU.USE_PALLAS),
-                        dtype=self.dtype,
-                        name=f"blocks_{i}",
-                    )
-                )
+                blocks.extend(make_traj(k) for k in range(i, j))
+            i = j
         self.blocks = blocks
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
 

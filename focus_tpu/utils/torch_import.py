@@ -15,6 +15,7 @@ partial load like the reference's :364-382 is available via
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, List, Tuple
 
 import numpy as np
@@ -173,7 +174,35 @@ def import_torch_params(
     new_flat = {}
     loaded, missing = [], []
     used = set()
+    seg_re = re.compile(r"^blocks_(\d+)_(\d+)$")
     for path, leaf in flat.items():
+        # scanned layer stacks: blocks_{a}_{b}/body/<suffix> with a leading
+        # layer axis -> stack torch blocks.{a+j}.<suffix>
+        m = seg_re.match(path[0]) if path else None
+        if m is not None:
+            a = int(m.group(1))
+            L = leaf.shape[0]
+            sub = tuple(p for p in path[1:] if p != "body")
+            _, kind = flax_path_to_torch(("blocks_0",) + sub)
+            suffix = flax_path_to_torch(("blocks_0",) + sub)[0][len("blocks.0."):]
+            names = [f"blocks.{a + j}.{suffix}" for j in range(L)]
+            if all(n in sd for n in names):
+                try:
+                    stacked = np.stack(
+                        [
+                            _convert(sd[n], kind, leaf.shape[1:])
+                            for n in names
+                        ]
+                    ).astype(np.asarray(leaf).dtype)
+                    new_flat[path] = stacked
+                    loaded.extend(names)
+                    used.update(names)
+                    continue
+                except ValueError as e:
+                    logger.warning(f"Shape mismatch for {names[0]}: {e}")
+            missing.append(".".join(path))
+            new_flat[path] = leaf
+            continue
         tname, kind = flax_path_to_torch(path)
         if tname in sd:
             try:
