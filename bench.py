@@ -32,7 +32,7 @@ A100_BASELINE_CLIPS_PER_SEC = 100.0
 
 
 def main():
-    from focus_tpu.models.build import build_model, init_model
+    from focus_tpu.models.build import build_model
     import __graft_entry__ as ge
 
     cfg = ge._flagship_cfg()
@@ -44,7 +44,18 @@ def main():
     video = jnp.asarray(rs.rand(B, 16, 224, 224, 3), jnp.float32)
     boxes = jnp.asarray(rs.rand(B, 8, 4, 4) * 0.5 + 0.25, jnp.float32)
     metadata = {"orvit_bboxes": boxes}
-    variables = init_model(model, cfg, (video, metadata))
+    # shape-only init, then materialise ALL params on device in ONE jitted
+    # program: per-param transfers/inits are a round trip each through the
+    # remote tunnel (minutes); bench weights just need plausible scale.
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            video, metadata,
+        )
+    )
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
 
     @jax.jit
     def eval_step(video, boxes):

@@ -261,6 +261,15 @@ def train(cfg):
     mesh_lib.init_distributed(cfg)
     np.random.seed(cfg.RNG_SEED)
     logging.setup_logging(cfg.OUTPUT_DIR)
+
+    multigrid = None
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        from focus_tpu.utils.multigrid import MultigridSchedule
+
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+        if cfg.MULTIGRID.LONG_CYCLE:
+            cfg, _ = multigrid.update_long_cycle(cfg, cur_epoch=0)
     logger.info("Train with config:")
     logger.info(cfg.dump())
 

@@ -54,7 +54,7 @@ def _space_stage_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
         p.astype(v.dtype), v,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
 def _space_stage_fwd_pallas(q, kf, vf, scale: float, block_q: int = 256,
@@ -73,6 +73,8 @@ def _space_stage_fwd_pallas(q, kf, vf, scale: float, block_q: int = 256,
         q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
 
     grid = (BH, s_pad // bq, F)
+    # output laid out [BH, F, S, d] so the block's trailing dims (bq, d)
+    # satisfy the TPU (8, 128)-divisible-or-equal rule; transposed after.
     out = pl.pallas_call(
         functools.partial(_space_stage_kernel, scale=scale, n_valid=N),
         grid=grid,
@@ -81,11 +83,11 @@ def _space_stage_fwd_pallas(q, kf, vf, scale: float, block_q: int = 256,
             pl.BlockSpec((1, 1, n_pad, d), lambda b, i, f: (b, f, 0, 0)),
             pl.BlockSpec((1, 1, n_pad, d), lambda b, i, f: (b, f, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d), lambda b, i, f: (b, i, f, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, s_pad, F, d), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, i, f: (b, f, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, F, s_pad, d), q.dtype),
         interpret=interpret,
     )(q, kf, vf)
-    return out[:, :S]
+    return out[:, :, :S].transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
