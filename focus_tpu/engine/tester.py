@@ -75,6 +75,14 @@ def test(cfg):
     assert len(test_loader.dataset) % num_clips == 0, (
         len(test_loader.dataset), num_clips,
     )
+    if cfg.TEST.DATASET == "epickitchens":
+        from focus_tpu.utils.meters import EPICTestMeter
+
+        test_meter = EPICTestMeter(
+            num_videos, num_clips, (97, 300), len(test_loader),
+            cfg.DATA.ENSEMBLE_METHOD,
+        )
+        return perform_test_ek(test_loader, state, eval_step, test_meter, cfg)
     test_meter = TestMeter(
         num_videos,
         num_clips,
@@ -85,3 +93,24 @@ def test(cfg):
     )
     stats = perform_test(test_loader, state, eval_step, test_meter, cfg)
     return stats
+
+
+def perform_test_ek(test_loader, state, eval_step, test_meter, cfg):
+    for cur_iter, batch in enumerate(test_loader):
+        video, labels, video_idx, metadata = _split_test_batch(batch)
+        test_meter.iter_tic()
+        _, both = eval_step(state, video, metadata)
+        test_meter.update_stats(
+            (
+                np.asarray(jax.device_get(both["verb"])),
+                np.asarray(jax.device_get(both["noun"])),
+            ),
+            {
+                "verb": np.asarray(jax.device_get(labels["verb"])),
+                "noun": np.asarray(jax.device_get(labels["noun"])),
+            },
+            np.asarray(jax.device_get(video_idx)),
+        )
+        test_meter.iter_toc()
+        test_meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
+    return test_meter.finalize_metrics()

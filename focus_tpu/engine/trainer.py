@@ -238,20 +238,33 @@ def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
 
 
 def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
+    from focus_tpu.utils import metrics
+    from focus_tpu.utils.meters import EPICValMeter
+
+    is_ek = isinstance(val_meter, EPICValMeter)
     val_meter.reset()
     for cur_iter, batch in enumerate(val_loader):
         video, labels, metadata = _split_batch(batch)
-        val_meter.iter_tic()
         preds = eval_step(state, video, metadata)
-        logits = preds[0] if isinstance(preds, tuple) else preds
-        logits_h = np.asarray(jax.device_get(logits))
-        labels_h = np.asarray(jax.device_get(labels))
-        from focus_tpu.utils import metrics
-
-        errs = metrics.topk_errors(logits_h, labels_h, (1, 5))
-        val_meter.update_stats(errs[0], errs[1], logits_h.shape[0])
-        val_meter.update_predictions(logits_h, labels_h)
-        val_meter.iter_toc()
+        if is_ek:
+            _, both = preds
+            verb = np.asarray(jax.device_get(both["verb"]))
+            noun = np.asarray(jax.device_get(both["noun"]))
+            lv = np.asarray(jax.device_get(labels["verb"]))
+            ln = np.asarray(jax.device_get(labels["noun"]))
+            v1, v5 = metrics.topk_accuracies(verb, lv, (1, 5))
+            n1, n5 = metrics.topk_accuracies(noun, ln, (1, 5))
+            a1, a5 = metrics.multitask_topk_accuracies(
+                (verb, noun), (lv, ln), (1, 5)
+            )
+            val_meter.update_stats((v1, n1, a1), (v5, n5, a5), verb.shape[0])
+        else:
+            logits = preds[0] if isinstance(preds, tuple) else preds
+            logits_h = np.asarray(jax.device_get(logits))
+            labels_h = np.asarray(jax.device_get(labels))
+            errs = metrics.topk_errors(logits_h, labels_h, (1, 5))
+            val_meter.update_stats(errs[0], errs[1], logits_h.shape[0])
+            val_meter.update_predictions(logits_h, labels_h)
         val_meter.log_iter_stats(cur_epoch, cur_iter)
     val_meter.log_epoch_stats(cur_epoch)
 
@@ -299,7 +312,12 @@ def train(cfg):
     base_rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
     train_meter = TrainMeter(len(train_loader), cfg)
-    val_meter = ValMeter(len(val_loader), cfg)
+    if cfg.TRAIN.DATASET == "epickitchens":
+        from focus_tpu.utils.meters import EPICValMeter
+
+        val_meter = EPICValMeter(len(val_loader), cfg)
+    else:
+        val_meter = ValMeter(len(val_loader), cfg)
     writer = TensorboardWriter(cfg) if jax.process_index() == 0 else None
     epoch_timer = EpochTimer()
 

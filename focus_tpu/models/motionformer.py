@@ -74,6 +74,34 @@ class DropPath(nn.Module):
         return x / keep * mask
 
 
+class SlicedDense(nn.Module):
+    """A Dense layer that owns the full [in, features_full] parameter (so
+    checkpoints map unchanged) but multiplies only the first
+    ``features_used`` output columns — used to skip the dead v-half of
+    proj_kv on the use_original_code path."""
+
+    features_full: int
+    features_used: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", trunc_normal_02, (x.shape[-1], self.features_full)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features_full,))
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        out = x.astype(dtype) @ kernel[:, : self.features_used].astype(dtype)
+        if bias is not None:
+            out = out + bias[: self.features_used].astype(dtype)
+        return out
+
+
 class TrajectoryAttention(nn.Module):
     """(reference attention.py:479-557)"""
 
@@ -130,8 +158,17 @@ class TrajectoryAttention(nn.Module):
 
         x_diag = attn_ops.take_diagonal(xs, F)  # [B, S, C]
         q2 = dense(C, "proj_q", self.qkv_bias)(x_diag)
-        kv2 = dense(2 * C, "proj_kv", self.qkv_bias)(xs)
-        k2, v2 = jnp.split(kv2, 2, axis=-1)
+        if self.use_original_code:
+            # the v half of proj_kv is dead on this path (values are the
+            # stage-1 aggregates, reference attention.py:544-548) — compute
+            # only the k half of the [B,S,F,C] x [C,2C] matmul (~30% of the
+            # block's FLOPs); the full parameter is kept for checkpoints.
+            k2 = SlicedDense(2 * C, C, self.qkv_bias, dtype=self.dtype,
+                             name="proj_kv")(xs)
+            v2 = None
+        else:
+            kv2 = dense(2 * C, "proj_kv", self.qkv_bias)(xs)
+            k2, v2 = jnp.split(kv2, 2, axis=-1)
         out = attn_ops.temporal_stage(
             q2, k2, v2, xs, F, scale, h,
             use_original_code=self.use_original_code,
