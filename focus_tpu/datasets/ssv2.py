@@ -236,6 +236,17 @@ class Ssv2:
             seq = self.get_seq_frames(index, len(allframes), rng)
             fpaths = [os.path.join(bpath, allframes[i]) for i in seq]
 
+        # fast path (eval): native decode+resize+normalize in one C++ pass
+        if spatial_idx != -1 and not (cfg.AUG.ENABLE and self.mode == "train"):
+            native_frames = self._load_frames_native(fpaths, min_scale)
+            if native_frames is not None:
+                frames, boxes_scale = native_frames
+                if boxes is not None:
+                    boxes = boxes * boxes_scale
+                out = xf.uniform_crop(frames, crop_size, spatial_idx, boxes=boxes)
+                frames, boxes = out if boxes is not None else (out, None)
+                return self._finalize(frames, boxes, index)
+
         frames = np.stack(
             data_utils.retry_load_images(fpaths, self._num_retries)
         )  # [T, H, W, C] uint8
@@ -271,6 +282,39 @@ class Ssv2:
             out = xf.uniform_crop(frames, crop_size, spatial_idx, boxes=boxes)
             frames, boxes = out if boxes is not None else (out, None)
 
+        return self._finalize(frames, boxes, index)
+
+    def _load_frames_native(self, fpaths, short_side):
+        """Native decode + short-side resize + normalize. Returns
+        (frames [T,H',W',C] float32, box_scale) or None."""
+        try:
+            from focus_tpu import native
+        except ImportError:
+            return None
+        if not native.available():
+            return None
+        dims = native.jpeg_dims(fpaths[0])
+        if dims is None:
+            return None
+        w, h = dims
+        if w <= h:
+            new_w, new_h = short_side, int(np.floor(h / w * short_side))
+            scale = short_side / w
+        else:
+            new_w, new_h = int(np.floor(w / h * short_side)), short_side
+            scale = short_side / h
+        frames = native.decode_jpeg_batch(
+            fpaths, new_h, new_w,
+            mean=tuple(self.cfg.DATA.MEAN), std=tuple(self.cfg.DATA.STD),
+            scale=1.0 / 255.0, num_threads=2,
+        )
+        if frames is None:
+            return None
+        return frames, scale
+
+    def _finalize(self, frames, boxes, index):
+        cfg = self.cfg
+        label = self._labels[index]
         pathways = data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
         metadata = {}
         if boxes is not None:

@@ -1,0 +1,65 @@
+"""Native JPEG decode pipeline: numerics vs PIL, throughput sanity."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def jpeg_files(tmp_path):
+    rs = np.random.RandomState(0)
+    paths = []
+    for i in range(8):
+        img = rs.randint(0, 255, (48, 64, 3), np.uint8)
+        p = tmp_path / f"f{i}.jpg"
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(str(p))
+    return paths
+
+
+def test_native_decode_matches_pil(jpeg_files):
+    native = pytest.importorskip("focus_tpu.native")
+    if not native.available():
+        pytest.skip("native decode unavailable (no g++/libjpeg)")
+    out = native.decode_jpeg_batch(jpeg_files, 48, 64, num_threads=2)
+    assert out.shape == (8, 48, 64, 3)
+    for i, p in enumerate(jpeg_files):
+        ref = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        np.testing.assert_allclose(out[i], ref, atol=1e-3)
+
+
+def test_native_decode_resize_and_normalize(tmp_path):
+    """Downscale of a smooth gradient (PIL antialiases downsamples; the
+    native path is cv2-style point bilinear, so only compare on smooth
+    content)."""
+    native = pytest.importorskip("focus_tpu.native")
+    if not native.available():
+        pytest.skip("native decode unavailable")
+    gx, gy = np.meshgrid(np.linspace(0, 255, 64), np.linspace(0, 255, 48))
+    img = np.stack([gx, gy, (gx + gy) / 2], -1).astype(np.uint8)
+    p = str(tmp_path / "grad.jpg")
+    Image.fromarray(img).save(p, quality=98)
+    mean, std = (0.45, 0.45, 0.45), (0.225, 0.225, 0.225)
+    out = native.decode_jpeg_batch([p], 24, 32, mean=mean, std=std)
+    assert out.shape == (1, 24, 32, 3)
+    ref_img = Image.open(p).convert("RGB").resize((32, 24), Image.BILINEAR)
+    ref = (np.asarray(ref_img, np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(out[0][2:-2, 2:-2], ref[2:-2, 2:-2], atol=0.12)
+
+
+def test_native_decode_handles_missing_file(jpeg_files):
+    native = pytest.importorskip("focus_tpu.native")
+    if not native.available():
+        pytest.skip("native decode unavailable")
+    out = native.decode_jpeg_batch(
+        [jpeg_files[0], "/nonexistent/x.jpg"], 16, 16
+    )
+    assert out.shape == (2, 16, 16, 3)
+    assert np.all(out[1] == 0)
+
+
+def test_jpeg_dims(jpeg_files):
+    native = pytest.importorskip("focus_tpu.native")
+    if not native.available():
+        pytest.skip("native decode unavailable")
+    assert native.jpeg_dims(jpeg_files[0]) == (64, 48)
