@@ -59,6 +59,7 @@ class DataLoader:
         sharding: Optional[jax.sharding.Sharding] = None,
         prefetch: int = 2,
         pad_last: bool = False,
+        short_cycle_factors=None,
     ):
         self.dataset = dataset
         self.global_batch_size = global_batch_size
@@ -69,6 +70,7 @@ class DataLoader:
         self.sharding = sharding
         self.prefetch = prefetch
         self.pad_last = pad_last
+        self.short_cycle_factors = short_cycle_factors
         self.epoch = 0
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
@@ -101,6 +103,9 @@ class DataLoader:
 
     def _local_batches(self) -> Iterator[np.ndarray]:
         order = self._epoch_indices()
+        if self.short_cycle_factors:
+            yield from self._short_cycle_batches(order)
+            return
         gb = self.global_batch_size
         for start in range(0, len(order), gb):
             batch_idx = order[start : start + gb]
@@ -114,6 +119,31 @@ class DataLoader:
             ]
             if len(local):
                 yield local
+
+    def _short_cycle_batches(self, order) -> Iterator:
+        """Multigrid short cycle (reference datasets/multigrid_helper.py:19):
+        batch sizes cycle [B/f0^2, B/f1^2, B] with crop factors [f0, f1, 1];
+        each yielded index carries its cycle phase so the dataset crops
+        accordingly (shapes repeat every 3 batches -> 3 compiled steps)."""
+        f0, f1 = self.short_cycle_factors
+        sizes = [
+            int(round(self.global_batch_size / (f0 * f0))),
+            int(round(self.global_batch_size / (f1 * f1))),
+            self.global_batch_size,
+        ]
+        pos = 0
+        phase = 0
+        n = len(order)
+        while pos + sizes[phase] <= n:
+            gb = sizes[phase]
+            batch_idx = order[pos : pos + gb]
+            pos += gb
+            local = np.array_split(batch_idx, self.process_count)[
+                self.process_index
+            ]
+            if len(local):
+                yield [(int(i), phase) for i in local]
+            phase = (phase + 1) % 3
 
     def __iter__(self) -> Iterator[Any]:
         batches = self._local_batches()
@@ -177,6 +207,13 @@ def construct_loader(cfg, split: str, sharding=None, is_precise_bn: bool = False
         batch_size = cfg.TEST.BATCH_SIZE
         shuffle, drop_last = False, False
     dataset = build_dataset(dataset_name, cfg, split)
+    short_cycle = None
+    if (
+        split == "train"
+        and cfg.MULTIGRID.SHORT_CYCLE
+        and not is_precise_bn
+    ):
+        short_cycle = tuple(cfg.MULTIGRID.SHORT_CYCLE_FACTORS)
     # static shapes: pad/ensemble-friendly eval keeps full batches
     return DataLoader(
         dataset,
@@ -188,6 +225,7 @@ def construct_loader(cfg, split: str, sharding=None, is_precise_bn: bool = False
         sharding=sharding,
         prefetch=cfg.TPU.PREFETCH,
         pad_last=not drop_last,
+        short_cycle_factors=short_cycle,
     )
 
 

@@ -203,6 +203,9 @@ class Ssv2:
 
     def __getitem__(self, index):
         cfg = self.cfg
+        short_cycle_idx = None
+        if isinstance(index, tuple):
+            index, short_cycle_idx = index
         rng = np.random.RandomState(
             None if self.mode == "train" else index
         )
@@ -210,6 +213,18 @@ class Ssv2:
             spatial_idx = -1
             min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
             crop_size = cfg.DATA.TRAIN_CROP_SIZE
+            # multigrid short-cycle crop scaling (reference ssv2.py:245-262)
+            if short_cycle_idx in (0, 1):
+                crop_size = int(
+                    round(
+                        cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                        * cfg.MULTIGRID.DEFAULT_S
+                    )
+                )
+            if cfg.MULTIGRID.DEFAULT_S > 0:
+                min_scale = int(
+                    round(float(min_scale) * crop_size / cfg.MULTIGRID.DEFAULT_S)
+                )
         else:
             spatial_idx = (
                 self._spatial_temporal_idx[index] % cfg.TEST.NUM_SPATIAL_CROPS

@@ -32,32 +32,36 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _space_stage_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
-    """Grid cell: (bh, q_block, frame).
+def _space_stage_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid, f):
+    """Grid cell: (bh, q_block). The frame loop lives inside the cell so
+    each grid step does F x (QK^T, softmax, PV) — amortising the per-cell
+    overhead that dominated the one-frame-per-cell variant.
 
-    q_ref: [1, BQ, d]; k_ref/v_ref: [1, 1, N_pad, d]; o_ref: [1, BQ, 1, d].
+    q_ref: [1, BQ, d]; k_ref/v_ref: [1, F, N_pad, d]; o_ref: [1, F, BQ, d].
     """
     q = q_ref[0].astype(jnp.float32)  # [BQ, d]
-    k = k_ref[0, 0].astype(jnp.float32)  # [N_pad, d]
-    v = v_ref[0, 0]  # [N_pad, d]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BQ, N_pad]
-    n_pad = k.shape[0]
-    if n_valid < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_valid, logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+    n_pad = k_ref.shape[2]
+    for fi in range(f):
+        k = k_ref[0, fi].astype(jnp.float32)  # [N_pad, d]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, N_pad]
+        if n_valid < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < n_valid, logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, fi]
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, fi, :, :] = out.astype(o_ref.dtype)
 
 
-def _space_stage_fwd_pallas(q, kf, vf, scale: float, block_q: int = 256,
+def _space_stage_fwd_pallas(q, kf, vf, scale: float, block_q: int = 512,
                             interpret: bool = False):
     """q: [BH, S, d]; kf/vf: [BH, F, N, d] -> out [BH, S, F, d]."""
     BH, S, d = q.shape
@@ -72,18 +76,18 @@ def _space_stage_fwd_pallas(q, kf, vf, scale: float, block_q: int = 256,
     if s_pad != S:
         q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
 
-    grid = (BH, s_pad // bq, F)
+    grid = (BH, s_pad // bq)
     # output laid out [BH, F, S, d] so the block's trailing dims (bq, d)
     # satisfy the TPU (8, 128)-divisible-or-equal rule; transposed after.
     out = pl.pallas_call(
-        functools.partial(_space_stage_kernel, scale=scale, n_valid=N),
+        functools.partial(_space_stage_kernel, scale=scale, n_valid=N, f=F),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, f: (b, i, 0)),
-            pl.BlockSpec((1, 1, n_pad, d), lambda b, i, f: (b, f, 0, 0)),
-            pl.BlockSpec((1, 1, n_pad, d), lambda b, i, f: (b, f, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, F, n_pad, d), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, F, n_pad, d), lambda b, i: (b, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b, i, f: (b, f, i, 0)),
+        out_specs=pl.BlockSpec((1, F, bq, d), lambda b, i: (b, 0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, F, s_pad, d), q.dtype),
         interpret=interpret,
     )(q, kf, vf)

@@ -5,7 +5,10 @@ Usage: python scripts/profile_block.py [variant ...]
 Variants: full, no_stage2, no_mlp, no_stage1, stage1_only
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
