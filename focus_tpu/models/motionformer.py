@@ -102,6 +102,28 @@ class SlicedDense(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Owns nn.Dense-shaped parameters without computing — used by fused
+    kernels that consume the raw weights (param tree stays identical to
+    the unfused path, so checkpoints map unchanged)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", trunc_normal_02, (self.in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class TrajectoryAttention(nn.Module):
     """(reference attention.py:479-557)"""
 
@@ -133,46 +155,80 @@ class TrajectoryAttention(nn.Module):
         split_heads = lambda t: t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3).reshape(
             B * h, -1, hd
         )
-        q, k, v = map(split_heads, (q, k, v))
+        qh, kh, vh = map(split_heads, (q, k, v))
 
         if with_cls_token:
-            cls_q, q_ = q[:, :1], q[:, 1:]
-            k_, v_ = k[:, 1:], v[:, 1:]
-            cls_out = attn_ops.cls_attention(cls_q, k, v, scale)
+            cls_q = qh[:, :1]
+            cls_out = attn_ops.cls_attention(cls_q, kh, vh, scale)
             cls_out = cls_out.reshape(B, h, 1, hd).transpose(0, 2, 1, 3).reshape(B, 1, C)
-        else:
-            q_, k_, v_ = q, k, v
 
-        # stage 1: spatial attention within each frame, all frames
-        if self.use_pallas:
-            from focus_tpu.ops.pallas.trajectory_attention import (
-                space_stage as pallas_space_stage,
+        import jax as _jax
+
+        fused_ok = (
+            self.use_pallas
+            and self.use_original_code
+            and _jax.default_backend() in ("tpu", "axon")
+        )
+        if fused_ok:
+            # fully-fused stage1+stage2 core: the per-frame aggregate
+            # tensor never leaves VMEM (focus_tpu/ops/pallas/trajectory_block.py)
+            from focus_tpu.ops.pallas.trajectory_block import (
+                fused_trajectory_core,
             )
 
-            xs = pallas_space_stage(q_, k_, v_, F, scale)
+            start = 1 if with_cls_token else 0
+            q_p = q[:, start:]
+            S = q_p.shape[1]
+            n_per_f = S // F
+            kf = k[:, start:].reshape(B, F, n_per_f, C)
+            vf = v[:, start:].reshape(B, F, n_per_f, C)
+            wq2, bq2 = _DenseParams(C, C, self.qkv_bias, name="proj_q")()
+            wkv, bkv = _DenseParams(C, 2 * C, self.qkv_bias, name="proj_kv")()
+            zeros_c = jnp.zeros((C,), q_p.dtype)
+            out = fused_trajectory_core(
+                q_p, kf, vf,
+                wq2.astype(q_p.dtype),
+                (bq2 if bq2 is not None else zeros_c).astype(q_p.dtype),
+                wkv[:, :C].astype(q_p.dtype),
+                (bkv[:C] if bkv is not None else zeros_c).astype(q_p.dtype),
+                scale, h,
+            )
         else:
-            xs = attn_ops.space_stage(q_, k_, v_, F, scale)  # [(B h), S, F, d]
-        S = xs.shape[1]
-        # '(b h) s f d -> b s f (h d)'
-        xs = xs.reshape(B, h, S, F, hd).transpose(0, 2, 3, 1, 4).reshape(B, S, F, C)
+            if with_cls_token:
+                q_, k_, v_ = qh[:, 1:], kh[:, 1:], vh[:, 1:]
+            else:
+                q_, k_, v_ = qh, kh, vh
 
-        x_diag = attn_ops.take_diagonal(xs, F)  # [B, S, C]
-        q2 = dense(C, "proj_q", self.qkv_bias)(x_diag)
-        if self.use_original_code:
-            # the v half of proj_kv is dead on this path (values are the
-            # stage-1 aggregates, reference attention.py:544-548) — compute
-            # only the k half of the [B,S,F,C] x [C,2C] matmul (~30% of the
-            # block's FLOPs); the full parameter is kept for checkpoints.
-            k2 = SlicedDense(2 * C, C, self.qkv_bias, dtype=self.dtype,
-                             name="proj_kv")(xs)
-            v2 = None
-        else:
-            kv2 = dense(2 * C, "proj_kv", self.qkv_bias)(xs)
-            k2, v2 = jnp.split(kv2, 2, axis=-1)
-        out = attn_ops.temporal_stage(
-            q2, k2, v2, xs, F, scale, h,
-            use_original_code=self.use_original_code,
-        )
+            # stage 1: spatial attention within each frame, all frames
+            if self.use_pallas:
+                from focus_tpu.ops.pallas.trajectory_attention import (
+                    space_stage as pallas_space_stage,
+                )
+
+                xs = pallas_space_stage(q_, k_, v_, F, scale)
+            else:
+                xs = attn_ops.space_stage(q_, k_, v_, F, scale)
+            S = xs.shape[1]
+            # '(b h) s f d -> b s f (h d)'
+            xs = xs.reshape(B, h, S, F, hd).transpose(0, 2, 3, 1, 4).reshape(
+                B, S, F, C
+            )
+
+            x_diag = attn_ops.take_diagonal(xs, F)  # [B, S, C]
+            q2 = dense(C, "proj_q", self.qkv_bias)(x_diag)
+            if self.use_original_code:
+                # the v half of proj_kv is dead on this path (values are the
+                # stage-1 aggregates, reference attention.py:544-548)
+                k2 = SlicedDense(2 * C, C, self.qkv_bias, dtype=self.dtype,
+                                 name="proj_kv")(xs)
+                v2 = None
+            else:
+                kv2 = dense(2 * C, "proj_kv", self.qkv_bias)(xs)
+                k2, v2 = jnp.split(kv2, 2, axis=-1)
+            out = attn_ops.temporal_stage(
+                q2, k2, v2, xs, F, scale, h,
+                use_original_code=self.use_original_code,
+            )
 
         if with_cls_token:
             out = jnp.concatenate([cls_out, out], axis=1)

@@ -1,0 +1,202 @@
+"""Fully-fused trajectory attention: stage 1 + stage 2 in one Pallas kernel.
+
+Per grid cell (batch, query-block) the kernel computes, entirely in VMEM:
+
+  1. per-head, per-frame spatial attention  xs[f, q, :]   (stage 1)
+  2. the diagonal (own-frame) aggregate     x_diag[q, :]
+  3. q2 = x_diag @ Wq2, k2_f = xs_f @ Wk2   (the stage-2 projections)
+  4. temporal softmax over F and the weighted sum of xs   (stage 2,
+     use_original_code=True semantics: values are the stage-1 aggregates)
+
+Only the [BQ, C] result is written to HBM — the [B, S, F, C] aggregate
+tensor of the unfused path (~154 MB at MF-224 scale, re-read several
+times) never exists. Backward recomputes through the XLA composition
+(custom_vjp), mirroring flash-attention's remat strategy.
+
+Semantics follow reference slowfast/models/attention.py:499-557 for the
+non-CLS tokens; the CLS row is handled outside (cheap single-query
+attention).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from focus_tpu.ops import attention as attn_ops
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fused_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
+                  o_ref, xs_ref, *, scale, n_valid, f, h, bq):
+    """Grid (b, q_block, frame); frame innermost so the per-frame stage-1
+    aggregates accumulate in the persistent xs scratch, and stage 2 runs
+    on the last frame step.
+
+    q_ref: [1, BQ, C]; k_ref/v_ref: [1, 1, N_pad, C]; wq2/wk2: [C, C];
+    bq2/bk2: [1, C]; o_ref: [1, BQ, C]; xs_ref (scratch): [F, BQ, C].
+    """
+    C = q_ref.shape[-1]
+    hd = C // h
+    n_pad = k_ref.shape[2]
+    qi = pl.program_id(1)
+    fi = pl.program_id(2)
+
+    # ---- stage 1 for this frame, all heads ----
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        q_h = q_ref[0, :, sl].astype(jnp.float32)
+        k_fh = k_ref[0, 0, :, sl].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q_h, k_fh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, N_pad]
+        if n_valid < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < n_valid, logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        v_fh = v_ref[0, 0, :, sl]
+        xs_ref[fi, :, sl] = jax.lax.dot_general(
+            p.astype(v_fh.dtype), v_fh,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(xs_ref.dtype)
+
+    # ---- stage 2 on the final frame step ----
+    @pl.when(fi == f - 1)
+    def _stage2():
+        tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        fq = tok // n_valid  # each query's own frame
+        x_diag = jnp.zeros((bq, C), jnp.float32)
+        for f2 in range(f):
+            x_diag = x_diag + jnp.where(
+                fq == f2, xs_ref[f2].astype(jnp.float32), 0.0
+            )
+        q2 = jax.lax.dot_general(
+            x_diag, wq2_ref[...].astype(jnp.float32),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + bq2_ref[0].astype(jnp.float32)
+        wk2 = wk2_ref[...].astype(jnp.float32)
+        bk2 = bk2_ref[0].astype(jnp.float32)
+
+        outs = []
+        for hi in range(h):
+            sl = slice(hi * hd, (hi + 1) * hd)
+            q2_h = q2[:, sl]
+            cols = []
+            for f2 in range(f):
+                # k2 for this (frame, head): [BQ, C] @ [C, hd]
+                k2_fh = jax.lax.dot_general(
+                    xs_ref[f2].astype(jnp.float32), wk2[:, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bk2[sl]
+                cols.append(
+                    jnp.sum(q2_h * k2_fh, axis=-1, keepdims=True) * scale
+                )
+            l2 = jnp.concatenate(cols, axis=-1)  # [BQ, F]
+            m2 = jnp.max(l2, axis=-1, keepdims=True)
+            a2 = jnp.exp(l2 - m2)
+            a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
+            acc = jnp.zeros((bq, hd), jnp.float32)
+            for f2 in range(f):
+                acc = acc + a2[:, f2:f2 + 1] * xs_ref[f2, :, sl].astype(
+                    jnp.float32
+                )
+            outs.append(acc)
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                      block_q: int = 128, interpret: bool = False):
+    """q: [B, S, C]; kf/vf: [B, F, N, C] -> out [B, S, C]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, C = q.shape
+    F, N = kf.shape[1], kf.shape[2]
+    n_pad = _round_up(N, 128)
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    bq = min(block_q, _round_up(S, 8))
+    s_pad = _round_up(S, bq)
+    if s_pad != S:
+        q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
+    bq2_2d = bq2.reshape(1, C)
+    bk2_2d = bk2.reshape(1, C)
+
+    grid = (B, s_pad // bq, F)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, scale=scale, n_valid=N, f=F, h=heads, bq=bq
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i, fi: (b, i, 0)),
+            pl.BlockSpec((1, 1, n_pad, C), lambda b, i, fi: (b, fi, 0, 0)),
+            pl.BlockSpec((1, 1, n_pad, C), lambda b, i, fi: (b, fi, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, i, fi: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i, fi: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, i, fi: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i, fi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i, fi: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
+        scratch_shapes=[pltpu.VMEM((F, bq, C), q.dtype)],
+        interpret=interpret,
+    )(q, kf, vf, wq2, bq2_2d, wk2, bk2_2d)
+    return out[:, :S]
+
+
+def _xla_reference(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads):
+    """Composition through the existing XLA ops (also the backward)."""
+    B, S, C = q.shape
+    F, N = kf.shape[1], kf.shape[2]
+    hd = C // heads
+    split = lambda t: t.reshape(B, -1, heads, hd).transpose(0, 2, 1, 3).reshape(
+        B * heads, -1, hd
+    )
+    q_ = split(q)
+    k_ = split(kf.reshape(B, F * N, C))
+    v_ = split(vf.reshape(B, F * N, C))
+    xs = attn_ops.space_stage(q_, k_, v_, F, scale)  # [BH, S, F, hd]
+    xs = xs.reshape(B, heads, S, F, hd).transpose(0, 2, 3, 1, 4).reshape(
+        B, S, F, C
+    )
+    x_diag = attn_ops.take_diagonal(xs, F)
+    q2 = x_diag @ wq2 + bq2
+    k2 = xs @ wk2 + bk2
+    return attn_ops.temporal_stage(q2, k2, None, xs, F, scale, heads, True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_trajectory_core(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                          interpret=False):
+    return _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                             interpret=interpret)
+
+
+def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
+    out = _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                            interpret=interpret)
+    return out, (q, kf, vf, wq2, bq2, wk2, bk2)
+
+
+def _fused_bwd(scale, heads, interpret, res, g):
+    q, kf, vf, wq2, bq2, wk2, bk2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, scale, heads), q, kf, vf, wq2, bq2,
+        wk2, bk2,
+    )
+    return vjp(g)
+
+
+fused_trajectory_core.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,55 @@
+"""Fully-fused trajectory core vs the XLA composition (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def make_inputs(B=2, F=3, N=12, C=16, heads=4, seed=0):
+    rs = np.random.RandomState(seed)
+    S = F * N
+    q = jnp.asarray(rs.randn(B, S, C) * 0.2, jnp.float32)
+    kf = jnp.asarray(rs.randn(B, F, N, C) * 0.2, jnp.float32)
+    vf = jnp.asarray(rs.randn(B, F, N, C) * 0.2, jnp.float32)
+    wq2 = jnp.asarray(rs.randn(C, C) * 0.1, jnp.float32)
+    bq2 = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    wk2 = jnp.asarray(rs.randn(C, C) * 0.1, jnp.float32)
+    bk2 = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    return q, kf, vf, wq2, bq2, wk2, bk2
+
+
+def test_fused_core_matches_xla():
+    from focus_tpu.ops.pallas.trajectory_block import (
+        _xla_reference,
+        fused_trajectory_core,
+    )
+
+    args = make_inputs()
+    heads = 4
+    scale = (16 // heads) ** -0.5
+    ref = _xla_reference(*args, scale, heads)
+    out = fused_trajectory_core(*args, scale, heads, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_core_grad_matches_xla():
+    from focus_tpu.ops.pallas.trajectory_block import (
+        _xla_reference,
+        fused_trajectory_core,
+    )
+
+    args = make_inputs(seed=1)
+    heads = 4
+    scale = (16 // heads) ** -0.5
+
+    def loss_ref(*a):
+        return (_xla_reference(*a, scale, heads) ** 2).sum()
+
+    def loss_fused(*a):
+        return (fused_trajectory_core(*a, scale, heads, True) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
