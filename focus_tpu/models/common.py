@@ -120,6 +120,12 @@ class GRUCell(nn.Module):
         w_hh = self.param("weight_hh", orthogonal, (h.shape[-1], 3 * H))
         b_ih = self.param("bias_ih", zeros_init, (3 * H,))
         b_hh = self.param("bias_hh", zeros_init, (3 * H,))
+        dtype = self.dtype or jnp.promote_types(x.dtype, h.dtype)
+        x = x.astype(dtype)
+        h = h.astype(dtype)
+        w_ih, w_hh, b_ih, b_hh = (
+            t.astype(dtype) for t in (w_ih, w_hh, b_ih, b_hh)
+        )
         gi = x @ w_ih + b_ih
         gh = h @ w_hh + b_hh
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)

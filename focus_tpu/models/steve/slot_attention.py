@@ -91,12 +91,15 @@ class SlotAttentionVideo(nn.Module):
     def __call__(self, inputs):
         """inputs: [B, T, N, input_size] -> (slots [B,T,S,D], attns [B,T,N,S])."""
         B = inputs.shape[0]
+        compute_dtype = self.dtype or inputs.dtype
         noise = jax.random.normal(
             self.make_rng("slots"),
             (B, self.num_slots, self.slot_size),
-            inputs.dtype,
+            jnp.float32,
         )
-        slots0 = self.slot_mu + jnp.exp(self.slot_log_sigma) * noise
+        slots0 = (
+            self.slot_mu + jnp.exp(self.slot_log_sigma) * noise
+        ).astype(compute_dtype)
 
         x = self.norm_inputs(inputs)
         k = self.project_k(x) * (self.slot_size ** -0.5)  # [B, T, N, D]

@@ -298,7 +298,9 @@ class STEVE(nn.Module):
 
         slots = self.steve_encoder.slot_proj(slots)
         buf = jnp.zeros((B, 1 + gen_len, self.d_model), slots.dtype)
-        bos = jnp.broadcast_to(self.steve_decoder.bos, (B, 1, self.d_model))
+        bos = jnp.broadcast_to(
+            self.steve_decoder.bos.astype(buf.dtype), (B, 1, self.d_model)
+        )
         buf = buf.at[:, :1].set(bos)
 
         def step(mdl, buf, t):
@@ -308,7 +310,7 @@ class STEVE(nn.Module):
                 jax.lax.dynamic_slice_in_dim(out, t, 1, axis=1)
             )
             z_id = jnp.argmax(logits, axis=-1)  # [B, 1]
-            emb = mdl.steve_decoder.dict_emb(z_id)
+            emb = mdl.steve_decoder.dict_emb(z_id).astype(buf.dtype)
             buf = jax.lax.dynamic_update_slice_in_dim(buf, emb, t + 1, axis=1)
             return buf, z_id[:, 0]
 

@@ -544,6 +544,30 @@ class AVAMeter:
         return result
 
 
+_EXTRA_METRIC_FNS = {}
+
+
+def register_extra_metric(name):
+    """Extension hook for custom eval metrics
+    (reference meters.py:1435-1443 eval_extra_metrics)."""
+
+    def deco(fn):
+        _EXTRA_METRIC_FNS[name] = fn
+        return fn
+
+    return deco
+
+
+def eval_extra_metrics(preds, labels) -> dict:
+    out = {}
+    for name, fn in _EXTRA_METRIC_FNS.items():
+        try:
+            out[name] = fn(preds, labels)
+        except Exception as e:  # noqa: BLE001
+            logger.warning(f"extra metric {name} failed: {e}")
+    return out
+
+
 class TestMeter:
     """Multi-view ensemble meter (reference meters.py:235-408): sums or
     maxes per-view softmax scores into per-video predictions."""
