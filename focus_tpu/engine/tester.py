@@ -33,6 +33,16 @@ def _split_test_batch(batch):
     raise ValueError("test dataset must yield (video, label, index[, meta])")
 
 
+def _to_host(array):
+    """Fetch a (possibly multi-host-sharded) eval array to every host
+    (replaces the reference's du.all_gather at test_net.py:114-117)."""
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(array))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))
+
+
 def perform_test(test_loader, state, eval_step, test_meter, cfg):
     for cur_iter, batch in enumerate(test_loader):
         video, labels, video_idx, metadata = _split_test_batch(batch)
@@ -40,9 +50,7 @@ def perform_test(test_loader, state, eval_step, test_meter, cfg):
         preds = eval_step(state, video, metadata)
         logits = preds[0] if isinstance(preds, tuple) else preds
         test_meter.update_stats(
-            np.asarray(jax.device_get(logits)),
-            np.asarray(jax.device_get(labels)),
-            np.asarray(jax.device_get(video_idx)),
+            _to_host(logits), _to_host(labels), _to_host(video_idx)
         )
         test_meter.iter_toc()
         test_meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
