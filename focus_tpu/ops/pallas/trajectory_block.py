@@ -74,16 +74,18 @@ def _fused_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
     def _stage2():
         tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
         fq = tok // n_valid  # each query's own frame
-        x_diag = jnp.zeros((bq, C), jnp.float32)
+        # accumulate the diagonal selection in the storage dtype (bf16);
+        # the selection is exact (no arithmetic mixes rows)
+        x_diag = jnp.zeros((bq, C), xs_ref.dtype)
         for f2 in range(f):
             x_diag = x_diag + jnp.where(
-                fq == f2, xs_ref[f2].astype(jnp.float32), 0.0
+                fq == f2, xs_ref[f2], jnp.zeros((), xs_ref.dtype)
             )
         q2 = jax.lax.dot_general(
-            x_diag, wq2_ref[...].astype(jnp.float32),
+            x_diag, wq2_ref[...].astype(xs_ref.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ) + bq2_ref[0].astype(jnp.float32)
-        wk2 = wk2_ref[...].astype(jnp.float32)
+        wk2 = wk2_ref[...]
         bk2 = bk2_ref[0].astype(jnp.float32)
 
         outs = []
@@ -94,7 +96,7 @@ def _fused_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
             for f2 in range(f):
                 # k2 for this (frame, head): [BQ, C] @ [C, hd]
                 k2_fh = jax.lax.dot_general(
-                    xs_ref[f2].astype(jnp.float32), wk2[:, sl],
+                    xs_ref[f2], wk2[:, sl],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + bk2[sl]
@@ -115,7 +117,7 @@ def _fused_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 
 
 def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-                      block_q: int = 128, interpret: bool = False):
+                      block_q: int = 256, interpret: bool = False):
     """q: [B, S, C]; kf/vf: [B, F, N, C] -> out [B, S, C]."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -151,6 +153,9 @@ def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
         out_specs=pl.BlockSpec((1, bq, C), lambda b, i, fi: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
         scratch_shapes=[pltpu.VMEM((F, bq, C), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
     )(q, kf, vf, wq2, bq2_2d, wk2, bk2_2d)
     return out[:, :S]
