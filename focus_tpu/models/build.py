@@ -36,10 +36,21 @@ def build_model(cfg):
 
 def init_model(model, cfg, sample_inputs: Tuple, rng: Optional[jax.Array] = None,
                **apply_kwargs):
-    """Initialise model variables with a sample batch."""
+    """Initialise model variables with a sample batch (jitted: eager
+    per-op execution is a round trip per op on the remote TPU path)."""
     if rng is None:
         rng = jax.random.PRNGKey(cfg.RNG_SEED)
     k_params, k_slots, k_gumbel, k_drop = jax.random.split(rng, 4)
     rngs = {"params": k_params, "slots": k_slots, "gumbel": k_gumbel,
             "dropout": k_drop}
-    return model.init(rngs, *sample_inputs, **apply_kwargs)
+    # python-level flags (e.g. STEVE's `hard`) must stay static under jit
+    static_idx = tuple(
+        i + 1
+        for i, a in enumerate(sample_inputs)
+        if isinstance(a, (bool, str)) or a is None
+    )
+    init_fn = jax.jit(
+        lambda r, *a: model.init(r, *a, **apply_kwargs),
+        static_argnums=static_idx,
+    )
+    return init_fn(rngs, *sample_inputs)

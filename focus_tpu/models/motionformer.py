@@ -67,7 +67,7 @@ class DropPath(nn.Module):
             return drop_path(self.make_rng("dropout"), x, self.drop_prob)
         if deterministic:
             return x
-        keep = 1.0 - rate
+        keep = (1.0 - rate).astype(x.dtype)
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jnp.floor(keep + jax.random.uniform(self.make_rng("dropout"),
                                                    shape, x.dtype))

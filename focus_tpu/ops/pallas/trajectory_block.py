@@ -155,6 +155,9 @@ def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
         scratch_shapes=[pltpu.VMEM((F, bq, C), q.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # the standalone (eagerly-executed) call compiles with extra
+            # layout buffers that exceed the default 16M scoped budget
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q, kf, vf, wq2, bq2_2d, wk2, bk2_2d)
@@ -190,8 +193,10 @@ def fused_trajectory_core(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
 
 
 def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
+    # under grad, the kernel compiles with extra layout constraints that
+    # push bq=256 past the VMEM limit — use the smaller block for training
     out = _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-                            interpret=interpret)
+                            block_q=128, interpret=interpret)
     return out, (q, kf, vf, wq2, bq2, wk2, bk2)
 
 
