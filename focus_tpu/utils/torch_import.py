@@ -28,6 +28,24 @@ logger = logging.get_logger(__name__)
 _RENAMES = {
     "pre_logits_fc": "pre_logits.fc",
     "dict_emb": "dict.dictionary",
+    "patch_embed_proj": "patch_embed.proj",
+}
+# two adjacent flax components that collapse to one torch component
+# (wrapper modules: our BatchNorm wraps nn.BatchNorm named 'bn'; MViT's
+# AttentionPool holds conv 'pool' + 'norm' which torch names pool_X /
+# norm_X on the attention module directly)
+_PAIR_RENAMES = {
+    ("bn", "bn"): "bn",
+    ("a_bn", "bn"): "a_bn",
+    ("b_bn", "bn"): "b_bn",
+    ("c_bn", "bn"): "c_bn",
+    ("branch1_bn", "bn"): "branch1_bn",
+    ("pool_q", "pool"): "pool_q",
+    ("pool_k", "pool"): "pool_k",
+    ("pool_v", "pool"): "pool_v",
+    ("pool_q", "norm"): "norm_q",
+    ("pool_k", "norm"): "norm_k",
+    ("pool_v", "norm"): "norm_v",
 }
 # two-layer no-bias MLPs stored as torch Sequential (fc1->0, fc2->2)
 _SEQ_MLPS = ("patch_to_d", "c_coord_to_feature")
@@ -63,13 +81,18 @@ def flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
     leaf = path[-1]
     mods = path[:-1]
     for i, m in enumerate(mods):
-        if m.startswith("blocks_"):
+        prev = parts[-1].split(".")[-1] if parts else None
+        if prev is not None and (prev, m) in _PAIR_RENAMES:
+            parts[-1] = ".".join(
+                parts[-1].split(".")[:-1] + [_PAIR_RENAMES[(prev, m)]]
+            )
+        elif m.startswith("blocks_"):
             parts.append("blocks." + m[len("blocks_"):])
         elif m in _RENAMES:
             parts.append(_RENAMES[m])
-        elif m == "fc1" and parts and parts[-1].split(".")[-1] in _SEQ_MLPS:
+        elif m == "fc1" and prev in _SEQ_MLPS:
             parts.append("0")
-        elif m == "fc2" and parts and parts[-1].split(".")[-1] in _SEQ_MLPS:
+        elif m == "fc2" and prev in _SEQ_MLPS:
             parts.append("2")
         else:
             parts.append(m)
@@ -297,4 +320,31 @@ def load_into_state(path: str, state_template, cfg):
     new_params = _unflatten(
         {p: jnp.asarray(v) for p, v in _flatten(new_params).items()}
     )
-    return state_template.replace(params=new_params)
+    new_state = state_template.replace(params=new_params)
+    if state_template.batch_stats is not None:
+        new_state = new_state.replace(
+            batch_stats=import_torch_batch_stats(
+                sd, state_template.batch_stats
+            )
+        )
+    return new_state
+
+
+def import_torch_batch_stats(sd: Dict[str, np.ndarray], batch_stats):
+    """Map BN running_mean/running_var into the batch_stats collection."""
+    flat = _flatten(batch_stats)
+    out = {}
+    loaded = 0
+    for path, leaf in flat.items():
+        leaf_name = path[-1]  # 'mean' or 'var'
+        tname, _ = flax_path_to_torch(path[:-1] + ("bias",))
+        tname = tname[: -len(".bias")] + ".running_" + leaf_name
+        if tname in sd and tuple(sd[tname].shape) == tuple(leaf.shape):
+            import jax.numpy as jnp
+
+            out[path] = jnp.asarray(sd[tname], np.asarray(leaf).dtype)
+            loaded += 1
+        else:
+            out[path] = leaf
+    logger.info(f"torch import: {loaded}/{len(flat)} batch-stat leaves")
+    return _unflatten(out)
