@@ -45,6 +45,31 @@ def _stack_tree(samples):
     return np.stack(samples)
 
 
+def _mark_padded(batch, pad_mask):
+    """Set the sample-index leaf to -1 for batch-padding duplicates.
+
+    pad_last repeats leading samples to keep the final batch full (static
+    shapes); the reference instead evaluates each clip exactly once, so
+    meters must be able to skip the duplicates. Samples follow the
+    (video, label, index, metadata) convention — the index leaf of padded
+    rows becomes the sentinel -1, and TestMeter/eval_epoch drop those rows.
+    """
+    if not pad_mask.any():
+        return batch
+    if isinstance(batch, (tuple, list)) and len(batch) >= 3:
+        idx = batch[2]
+        if (
+            isinstance(idx, np.ndarray)
+            and idx.ndim == 1
+            and np.issubdtype(idx.dtype, np.integer)
+        ):
+            idx = np.where(pad_mask, -1, idx)
+            return type(batch)(
+                idx if i == 2 else leaf for i, leaf in enumerate(batch)
+            )
+    return batch
+
+
 class DataLoader:
     """Batched iterator over a map-style dataset with device prefetch."""
 
@@ -101,24 +126,26 @@ class DataLoader:
             order = order[: (n // self.global_batch_size) * self.global_batch_size]
         return order
 
-    def _local_batches(self) -> Iterator[np.ndarray]:
+    def _local_batches(self) -> Iterator[tuple]:
         order = self._epoch_indices()
         if self.short_cycle_factors:
-            yield from self._short_cycle_batches(order)
+            for local in self._short_cycle_batches(order):
+                yield local, np.zeros(len(local), bool)
             return
         gb = self.global_batch_size
         for start in range(0, len(order), gb):
             batch_idx = order[start : start + gb]
-            if self.pad_last and len(batch_idx) < gb:
+            n_real = len(batch_idx)
+            if self.pad_last and n_real < gb:
                 batch_idx = np.concatenate(
-                    [batch_idx, batch_idx[: gb - len(batch_idx)]]
+                    [batch_idx, batch_idx[: gb - n_real]]
                 )
+            pad = np.arange(len(batch_idx)) >= n_real
             # contiguous slice per process so device_put sees its shard
-            local = np.array_split(batch_idx, self.process_count)[
-                self.process_index
-            ]
-            if len(local):
-                yield local
+            split = np.array_split(np.arange(len(batch_idx)), self.process_count)
+            pos = split[self.process_index]
+            if len(pos):
+                yield batch_idx[pos], pad[pos]
 
     def _short_cycle_batches(self, order) -> Iterator:
         """Multigrid short cycle (reference datasets/multigrid_helper.py:19):
@@ -153,11 +180,12 @@ class DataLoader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idx in batches:
+                    for idx, pad_mask in batches:
                         if stop.is_set():
                             break
                         samples = list(pool.map(self.dataset.__getitem__, idx))
                         batch = _stack_tree(samples)
+                        batch = _mark_padded(batch, pad_mask)
                         if self.sharding is not None:
                             batch = jax.tree_util.tree_map(
                                 lambda x: _put_global(x, self.sharding), batch

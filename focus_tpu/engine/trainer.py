@@ -245,6 +245,14 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
     val_meter.reset()
     for cur_iter, batch in enumerate(val_loader):
         video, labels, metadata = _split_batch(batch)
+        # the loader pads the final batch with duplicates (index -1) to
+        # keep shapes static; drop them from metrics (host-side, after
+        # the device step) so each val clip is counted exactly once
+        valid = None
+        if isinstance(batch, (tuple, list)) and len(batch) >= 4:
+            idx_h = np.asarray(jax.device_get(batch[2]))
+            if idx_h.ndim == 1 and (idx_h < 0).any():
+                valid = idx_h >= 0
         preds = eval_step(state, video, metadata)
         if is_ek:
             _, both = preds
@@ -252,6 +260,10 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
             noun = np.asarray(jax.device_get(both["noun"]))
             lv = np.asarray(jax.device_get(labels["verb"]))
             ln = np.asarray(jax.device_get(labels["noun"]))
+            if valid is not None:
+                verb, noun, lv, ln = verb[valid], noun[valid], lv[valid], ln[valid]
+            if verb.shape[0] == 0:
+                continue
             v1, v5 = metrics.topk_accuracies(verb, lv, (1, 5))
             n1, n5 = metrics.topk_accuracies(noun, ln, (1, 5))
             a1, a5 = metrics.multitask_topk_accuracies(
@@ -262,6 +274,10 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
             logits = preds[0] if isinstance(preds, tuple) else preds
             logits_h = np.asarray(jax.device_get(logits))
             labels_h = np.asarray(jax.device_get(labels))
+            if valid is not None:
+                logits_h, labels_h = logits_h[valid], labels_h[valid]
+            if logits_h.shape[0] == 0:
+                continue
             errs = metrics.topk_errors(logits_h, labels_h, (1, 5))
             val_meter.update_stats(errs[0], errs[1], logits_h.shape[0])
             val_meter.update_predictions(logits_h, labels_h)

@@ -33,23 +33,28 @@ def soft_target_cross_entropy(logits, soft_targets):
 
 
 def label_smoothing_cross_entropy(logits, labels, smoothing: float = 0.1):
-    """(reference losses.py:39-59)"""
-    n = logits.shape[-1]
+    """(reference losses.py:39-59)
+
+    Soft (already-mixed/smoothed) labels pass through unchanged: the
+    reference recipe smooths inside timm MixUp and then uses
+    SoftTargetCrossEntropy, so smoothing must not be applied twice.
+    """
     if labels.ndim == logits.ndim:
-        soft = labels
-    else:
-        soft = jax.nn.one_hot(labels, n)
+        return soft_target_cross_entropy(logits, labels)
+    n = logits.shape[-1]
+    soft = jax.nn.one_hot(labels, n)
     soft = soft * (1.0 - smoothing) + smoothing / n
     return soft_target_cross_entropy(logits, soft)
 
 
 def ek_loss(preds, labels):
-    """Verb+noun composite (reference losses.py:62-94). preds: (first,
-    {'verb','noun'}); labels: {'verb','noun'}."""
+    """Verb+noun composite summed, not averaged, matching the reference
+    recipe (reference tools/train_net.py:93-100: loss = verb + noun).
+    preds: (first, {'verb','noun'}); labels: {'verb','noun'}."""
     _, out = preds
     lv = cross_entropy(out["verb"], labels["verb"])
     ln = cross_entropy(out["noun"], labels["noun"])
-    return 0.5 * (lv + ln)
+    return lv + ln
 
 
 _LOSSES = {

@@ -164,9 +164,13 @@ class TrajectoryAttention(nn.Module):
 
         import jax as _jax
 
+        # attention-weight dropout (reference attention.py:527 applies
+        # attn_drop to the stage-1 weights) forces the unfused XLA path
+        drop_attn = self.attn_drop > 0.0 and not deterministic
         fused_ok = (
             self.use_pallas
             and self.use_original_code
+            and not drop_attn
             and _jax.default_backend() in ("tpu", "axon")
         )
         if fused_ok:
@@ -200,14 +204,18 @@ class TrajectoryAttention(nn.Module):
                 q_, k_, v_ = qh, kh, vh
 
             # stage 1: spatial attention within each frame, all frames
-            if self.use_pallas:
+            if self.use_pallas and not drop_attn:
                 from focus_tpu.ops.pallas.trajectory_attention import (
                     space_stage as pallas_space_stage,
                 )
 
                 xs = pallas_space_stage(q_, k_, v_, F, scale)
             else:
-                xs = attn_ops.space_stage(q_, k_, v_, F, scale)
+                xs = attn_ops.space_stage(
+                    q_, k_, v_, F, scale,
+                    attn_drop=self.attn_drop if drop_attn else 0.0,
+                    dropout_rng=self.make_rng("dropout") if drop_attn else None,
+                )
             S = xs.shape[1]
             # '(b h) s f d -> b s f (h d)'
             xs = xs.reshape(B, h, S, F, hd).transpose(0, 2, 3, 1, 4).reshape(

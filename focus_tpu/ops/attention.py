@@ -20,10 +20,13 @@ import jax
 import jax.numpy as jnp
 
 
-def space_stage(q_, k_, v_, f: int, scale: float):
+def space_stage(q_, k_, v_, f: int, scale: float,
+                attn_drop: float = 0.0, dropout_rng=None):
     """Stage 1: per-frame spatial attention for all query tokens.
 
     q_, k_, v_: [BH, S, d] with S = F * P (no CLS).
+    attn_drop/dropout_rng: dropout on the attention weights (the reference
+    applies self.attn_drop to space_attn only, attention.py:527).
     Returns x: [BH, S, F, d].
     """
     BH, S, d = q_.shape
@@ -31,6 +34,9 @@ def space_stage(q_, k_, v_, f: int, scale: float):
     logits = jnp.einsum("bqd,bkd->bqk", q_, k_, preferred_element_type=jnp.float32)
     logits = logits.reshape(BH, S, f, p) * scale
     attn = jax.nn.softmax(logits, axis=-1).astype(q_.dtype)
+    if attn_drop > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_drop, attn.shape)
+        attn = attn * keep.astype(attn.dtype) / (1.0 - attn_drop)
     v_f = v_.reshape(BH, f, p, d)
     return jnp.einsum(
         "bqfn,bfnd->bqfd", attn, v_f, preferred_element_type=jnp.float32

@@ -425,6 +425,7 @@ class EPICTestMeter:
         self.verb_labels = np.zeros(num_videos, np.int64)
         self.noun_labels = np.zeros(num_videos, np.int64)
         self.clip_count = np.zeros(num_videos, np.int64)
+        self.seen_clips = np.zeros(num_videos * num_clips, bool)
 
     def iter_tic(self):
         self.iter_timer.reset()
@@ -435,7 +436,11 @@ class EPICTestMeter:
     def update_stats(self, preds, labels, clip_ids):
         verb, noun = preds
         for i in range(verb.shape[0]):
-            vid = int(clip_ids[i]) // self.num_clips
+            cid = int(clip_ids[i])
+            if cid < 0 or self.seen_clips[cid]:
+                continue
+            self.seen_clips[cid] = True
+            vid = cid // self.num_clips
             self.verb_labels[vid] = labels["verb"][i]
             self.noun_labels[vid] = labels["noun"][i]
             if self.ensemble_method == "sum":
@@ -592,12 +597,14 @@ class TestMeter:
             (num_videos, num_cls) if multi_label else (num_videos,), np.int64
         )
         self.clip_count = np.zeros(num_videos, np.int64)
+        self.seen_clips = np.zeros(num_videos * num_clips, bool)
         self.stats = {}
 
     def reset(self):
         self.video_preds[:] = 0
         self.video_labels[:] = 0
         self.clip_count[:] = 0
+        self.seen_clips[:] = False
 
     def iter_tic(self):
         self.iter_timer.reset()
@@ -610,7 +617,14 @@ class TestMeter:
         labels = np.asarray(labels)
         clip_ids = np.asarray(clip_ids)
         for i in range(preds.shape[0]):
-            vid_id = int(clip_ids[i]) // self.num_clips
+            # padded duplicates (sentinel -1) and re-delivered clips are
+            # skipped so each clip scores exactly once (the reference
+            # never pads eval batches)
+            cid = int(clip_ids[i])
+            if cid < 0 or self.seen_clips[cid]:
+                continue
+            self.seen_clips[cid] = True
+            vid_id = cid // self.num_clips
             if self.clip_count[vid_id] > 0 and not self.multi_label:
                 assert self.video_labels[vid_id] == labels[i]
             self.video_labels[vid_id] = labels[i]

@@ -88,6 +88,8 @@ def flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
             )
         elif m.startswith("blocks_"):
             parts.append("blocks." + m[len("blocks_"):])
+        elif m.startswith("orvit_blocks_"):
+            parts.append("orvit_blocks." + m[len("orvit_blocks_"):])
         elif m in _RENAMES:
             parts.append(_RENAMES[m])
         elif m == "fc1" and prev in _SEQ_MLPS:
@@ -274,26 +276,17 @@ def _merge_split_qkv(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def _copy_backbone_attn_to_orvit(sd, params) -> Dict[str, np.ndarray]:
     """Reference ORVIT.LOAD_ORVIT_ATTN_LAYERS_FROM_BB (checkpoint.py:356-363):
-    when a plain-backbone checkpoint initialises an ORViT model, each ORViT
-    block's trajectory attention is seeded from the backbone block's."""
+    every backbone ``blocks.*qkv*`` key is additionally offered under the
+    ``orvit_`` prefix, so residually-added ORViT blocks (ADD_LAYERS ->
+    flax ``orvit_blocks_{i}`` -> torch name ``orvit_blocks.{i}.…``) get
+    their attention seeded from the backbone block at the same depth.
+    Replacement-style ORViT blocks (ORVIT.LAYERS) keep the plain
+    ``blocks.{i}`` names and load by name identity."""
+    del params  # reference matches against model names; ours map by prefix
     out = dict(sd)
-    orvit_blocks = [
-        name for name, sub in params.items()
-        if name.startswith("blocks_") and isinstance(sub, dict)
-        and "box_categories" in sub
-    ]
-    for name in orvit_blocks:
-        i = name[len("blocks_"):]
-        for suffix in (
-            "attn.qkv.weight", "attn.qkv.bias", "attn.proj_q.weight",
-            "attn.proj_q.bias", "attn.proj_kv.weight", "attn.proj_kv.bias",
-            "attn.proj.weight", "attn.proj.bias",
-            "norm1.weight", "norm1.bias", "norm2.weight", "norm2.bias",
-            "mlp.fc1.weight", "mlp.fc1.bias", "mlp.fc2.weight", "mlp.fc2.bias",
-        ):
-            src = f"blocks.{i}.{suffix}"
-            if src in sd and f"blocks.{i}.crop_layer" not in sd:
-                out.setdefault(src, sd[src])
+    for k, v in sd.items():
+        if k.startswith("blocks") and "qkv" in k:
+            out.setdefault(f"orvit_{k}", v)
     return out
 
 
