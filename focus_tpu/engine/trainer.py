@@ -225,9 +225,11 @@ def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
             host = {k: float(v) for k, v in jax.device_get(stats).items()}
             epoch_f = cur_epoch + float(cur_iter) / data_size
             lr = lr_policy.get_lr_at_epoch(cfg, epoch_f)["lr"]
+            # multi-pathway models (SlowFast) carry a tuple of videos
+            mb = (video[0] if isinstance(video, (tuple, list)) else video).shape[0]
             train_meter.update_stats(
                 host.get("top1_err"), host.get("top5_err"), host["loss"], lr,
-                video.shape[0],
+                mb,
             )
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)

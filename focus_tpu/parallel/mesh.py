@@ -33,9 +33,32 @@ def init_distributed(cfg) -> None:
 
 
 def build_mesh(cfg=None, devices=None) -> Mesh:
-    """Mesh over all devices: ('data', 'model'). MESH.DATA == -1 means
-    "all devices / MODEL"."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    """Mesh with ('data', 'model') axes.
+
+    Device selection follows the reference's NUM_GPUS semantics
+    (reference multiprocessing.py:45-57 spawns exactly NUM_GPUS
+    processes per machine): on a single host, a config asking for fewer
+    devices than are attached uses only that many; asking for more than
+    exist falls back to all local devices (the common case when running
+    an 8-GPU YAML on a 1-chip host). Multi-host runs always use the full
+    global device set — per-host counts are fixed by the slice topology.
+    """
+    if devices is None:
+        if cfg is not None and jax.process_count() == 1:
+            local = jax.local_devices()
+            want = int(cfg.NUM_GPUS)
+            if 0 < want < len(local):
+                devices = local[:want]
+            else:
+                if want > len(local):
+                    logger.warning(
+                        f"NUM_GPUS={want} > {len(local)} local devices; "
+                        f"using all {len(local)}"
+                    )
+                devices = local
+        else:
+            devices = jax.devices()
+    devices = np.asarray(devices)
     model = 1
     if cfg is not None:
         model = max(int(cfg.TPU.MESH.MODEL), 1)

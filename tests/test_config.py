@@ -8,6 +8,9 @@ from focus_tpu.config import assert_and_infer_cfg, get_cfg
 from focus_tpu.config.node import CfgNode
 
 REF_CONFIG_DIR = "/root/reference/configs"
+REPO_CONFIG_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs"
+)
 
 
 def test_defaults_key_surface():
@@ -84,6 +87,24 @@ def test_all_reference_yamls_load():
     broken_upstream = {"steve_default_v1.yaml", "steve_default.yaml"}
     failures = []
     for root, _, files in os.walk(REF_CONFIG_DIR):
+        for f in files:
+            if not f.endswith(".yaml") or f in broken_upstream:
+                continue
+            path = os.path.join(root, f)
+            cfg = get_cfg()
+            try:
+                cfg.merge_from_file(path)
+                assert_and_infer_cfg(cfg)
+            except Exception as e:  # noqa: BLE001
+                failures.append((path, repr(e)))
+    assert not failures, failures
+
+
+def test_all_shipped_yamls_load():
+    """Every YAML shipped in this repo's config zoo must merge + validate."""
+    broken_upstream = {"steve_default_v1.yaml", "steve_default.yaml"}
+    failures = []
+    for root, _, files in os.walk(REPO_CONFIG_DIR):
         for f in files:
             if not f.endswith(".yaml") or f in broken_upstream:
                 continue

@@ -10,34 +10,7 @@ from PIL import Image
 from focus_tpu.config import get_cfg
 
 
-def make_ssv2_tree(root, num_videos=3, num_frames=12, size=48):
-    rs = np.random.RandomState(0)
-    os.makedirs(f"{root}/sm/annotations", exist_ok=True)
-    os.makedirs(f"{root}/json_files", exist_ok=True)
-    labels = {"Doing thing 1": "0", "Doing thing 2": "1"}
-    json.dump(labels, open(f"{root}/sm/annotations/something-something-v2-labels.json", "w"))
-    for split in ("train", "validation"):
-        entries = []
-        for v in range(num_videos):
-            vid = str(10000 + v)
-            entries.append(
-                {"id": vid, "template": f"Doing [thing {v % 2 + 1}]"}
-            )
-            fdir = f"{root}/frames/{vid}"
-            os.makedirs(fdir, exist_ok=True)
-            bdir = f"{root}/detected_boxes/{vid}"
-            os.makedirs(bdir, exist_ok=True)
-            for t in range(num_frames):
-                Image.fromarray(
-                    rs.randint(0, 255, (size, size, 3), np.uint8)
-                ).save(f"{fdir}/{t + 1:04d}.jpg")
-                boxes = {
-                    "boxes": rs.rand(3, 4).astype(np.float32) * size / 2,
-                    "pred_classes": np.array([0, 1, 1]),
-                }
-                boxes["boxes"][:, 2:] += boxes["boxes"][:, :2]
-                np.save(f"{bdir}/{t + 1:04d}.npy", boxes, allow_pickle=True)
-        json.dump(entries, open(f"{root}/json_files/something-something-v2-{split}.json", "w"))
+from synthetic_data import make_ssv2_tree  # noqa: E402 — shared fixture generators
 
 
 @pytest.fixture()

@@ -9,6 +9,7 @@ from focus_tpu.config import get_cfg
 
 def detection_cfg():
     cfg = get_cfg()
+    cfg.NUM_GPUS = 8  # use the full 8-device virtual CPU mesh
     cfg.MODEL.MODEL_NAME = "ResNet"
     cfg.MODEL.ARCH = "slow"
     cfg.MODEL.NUM_CLASSES = 6

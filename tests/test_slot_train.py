@@ -8,6 +8,7 @@ from focus_tpu.config import get_cfg
 
 def tiny_steve_cfg(tmp_path):
     cfg = get_cfg()
+    cfg.NUM_GPUS = 8  # use the full 8-device virtual CPU mesh
     cfg.MODEL.MODEL_NAME = "STEVE"
     cfg.MODEL.CNN_NAME = "base"
     cfg.TRAIN.METHOD = "slots"

@@ -12,6 +12,7 @@ def test_device_mixup_soft_labels():
     from focus_tpu.engine.trainer import _device_mixup
 
     cfg = get_cfg()
+    cfg.NUM_GPUS = 8  # use the full 8-device virtual CPU mesh
     cfg.MODEL.NUM_CLASSES = 5
     cfg.MIXUP.ALPHA = 0.8
     cfg.MIXUP.CUTMIX_ALPHA = 1.0
@@ -28,6 +29,7 @@ def test_multigrid_schedule():
     from focus_tpu.utils.multigrid import MultigridSchedule, get_current_long_cycle_shape
 
     cfg = get_cfg()
+    cfg.NUM_GPUS = 8  # use the full 8-device virtual CPU mesh
     cfg.MULTIGRID.LONG_CYCLE = True
     cfg.SOLVER.STEPS = [0, 16, 24]
     cfg.SOLVER.LRS = [1, 0.1, 0.01]
@@ -55,6 +57,7 @@ def test_precise_bn_on_resnet(tmp_path):
     from focus_tpu.parallel import mesh as mesh_lib
 
     cfg = get_cfg()
+    cfg.NUM_GPUS = 8  # use the full 8-device virtual CPU mesh
     cfg.MODEL.MODEL_NAME = "ResNet"
     cfg.MODEL.ARCH = "slow"
     cfg.MODEL.NUM_CLASSES = 4
