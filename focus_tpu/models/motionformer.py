@@ -225,18 +225,22 @@ class TrajectoryAttention(nn.Module):
             x_diag = attn_ops.take_diagonal(xs, F)  # [B, S, C]
             q2 = dense(C, "proj_q", self.qkv_bias)(x_diag)
             if self.use_original_code:
-                # the v half of proj_kv is dead on this path (values are the
-                # stage-1 aggregates, reference attention.py:544-548)
-                k2 = SlicedDense(2 * C, C, self.qkv_bias, dtype=self.dtype,
-                                 name="proj_kv")(xs)
-                v2 = None
+                # values are the stage-1 aggregates (reference
+                # attention.py:544-548), so the v half of proj_kv is dead
+                # and the k2 projection reassociates onto the query side
+                # (F x fewer FLOPs, k2 never materialised)
+                wkv, _ = _DenseParams(C, 2 * C, self.qkv_bias,
+                                      name="proj_kv")()
+                out = attn_ops.temporal_stage_k2w(
+                    q2, wkv[:, :C], xs, F, scale, h
+                )
             else:
                 kv2 = dense(2 * C, "proj_kv", self.qkv_bias)(xs)
                 k2, v2 = jnp.split(kv2, 2, axis=-1)
-            out = attn_ops.temporal_stage(
-                q2, k2, v2, xs, F, scale, h,
-                use_original_code=self.use_original_code,
-            )
+                out = attn_ops.temporal_stage(
+                    q2, k2, v2, xs, F, scale, h,
+                    use_original_code=False,
+                )
 
         if with_cls_token:
             out = jnp.concatenate([cls_out, out], axis=1)

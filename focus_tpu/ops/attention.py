@@ -76,6 +76,38 @@ def temporal_stage(q2, k2, v2, x, f: int, scale: float, h: int,
     return out.reshape(B, S, C)
 
 
+def temporal_stage_k2w(q2, wk2, xs, f: int, scale: float, h: int):
+    """Stage 2 with the k2 projection reassociated onto the query side
+    (``use_original_code=True`` semantics only).
+
+    The reference computes k2 = xs @ Wk2 + bk2 ([B,S,F,C] @ [C,C] — the
+    dominant FLOPs of the whole block) and logits = q2_h . k2_h. Since
+    logits[.,f] = q2_h . (xs_f @ Wk2[:,h]) = (q2_h @ Wk2[:,h]^T) . xs_f
+    and the bias term is constant over f (softmax-invariant), projecting
+    q2 once through Wk2^T is F x cheaper and never materialises k2.
+
+    q2: [B, S, C]; wk2: [C, C] (k half of proj_kv); xs: [B, S, F, C].
+    Returns [B, S, C].
+    """
+    B, S, C = q2.shape
+    d = C // h
+    q2h = q2.reshape(B, S, h, d)
+    wk2h = wk2.reshape(C, h, d).transpose(1, 0, 2)  # [h, C, d]
+    g = jnp.einsum(
+        "bshd,hcd->bshc", q2h, wk2h.astype(q2.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(q2.dtype)
+    logits = jnp.einsum(
+        "bshc,bsfc->bhsf", g, xs, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(q2.dtype)
+    srch = xs.reshape(B, S, f, h, d)
+    out = jnp.einsum(
+        "bhsf,bsfhd->bshd", attn, srch, preferred_element_type=jnp.float32
+    ).astype(q2.dtype)
+    return out.reshape(B, S, C)
+
+
 def cls_attention(cls_q, k, v, scale: float):
     """CLS token attends over everything (reference attention.py:512-519).
     cls_q: [BH, 1, d], k/v: [BH, N, d] -> [BH, 1, d]."""

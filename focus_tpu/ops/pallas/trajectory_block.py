@@ -86,22 +86,31 @@ def _fused_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ) + bq2_ref[0].astype(jnp.float32)
         wk2 = wk2_ref[...]
-        bk2 = bk2_ref[0].astype(jnp.float32)
+        # bk2_ref is unused: the k2 bias is constant over frames and
+        # cancels in the stage-2 softmax
 
+        # Reassociated stage-2 logits: l2[q,f,h] = q2_h[q] . (xs[f,q] @
+        # Wk2[:,h]) = (q2_h[q] @ Wk2[:,h]^T) . xs[f,q]. Projecting q2
+        # through Wk2^T costs BQ*C^2 once instead of F*BQ*C^2 for
+        # projecting the F-times-larger xs (the round-1 kernel's dominant
+        # FLOPs, BENCH_NOTES queue #1).
         outs = []
         for hi in range(h):
             sl = slice(hi * hd, (hi + 1) * hd)
-            q2_h = q2[:, sl]
+            # g_h[q, :] = q2_h[q] @ Wk2[:, sl]^T  -> [BQ, C]
+            g_h = jax.lax.dot_general(
+                q2[:, sl].astype(xs_ref.dtype),
+                wk2[:, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             cols = []
             for f2 in range(f):
-                # k2 for this (frame, head): [BQ, C] @ [C, hd]
-                k2_fh = jax.lax.dot_general(
-                    xs_ref[f2], wk2[:, sl],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + bk2[sl]
                 cols.append(
-                    jnp.sum(q2_h * k2_fh, axis=-1, keepdims=True) * scale
+                    jnp.sum(
+                        g_h * xs_ref[f2].astype(jnp.float32),
+                        axis=-1, keepdims=True,
+                    ) * scale
                 )
             l2 = jnp.concatenate(cols, axis=-1)  # [BQ, F]
             m2 = jnp.max(l2, axis=-1, keepdims=True)
@@ -181,8 +190,8 @@ def _xla_reference(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads):
     )
     x_diag = attn_ops.take_diagonal(xs, F)
     q2 = x_diag @ wq2 + bq2
-    k2 = xs @ wk2 + bk2
-    return attn_ops.temporal_stage(q2, k2, None, xs, F, scale, heads, True)
+    del bk2  # constant over frames -> softmax-invariant
+    return attn_ops.temporal_stage_k2w(q2, wk2, xs, F, scale, heads)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
