@@ -43,6 +43,37 @@ def _to_host(array):
     return np.asarray(multihost_utils.process_allgather(array, tiled=True))
 
 
+def perform_test_detection(test_loader, state, eval_step, test_meter, cfg):
+    """AVA detection testing (reference test_net.py:57-79): buffer
+    per-keyframe box scores + normalised boxes and evaluate frame-mAP
+    under the official protocol."""
+    names = test_meter.video_idx_to_name or []
+    for cur_iter, batch in enumerate(test_loader):
+        video, labels, _, metadata = _split_test_batch(batch)
+        test_meter.iter_tic()
+        preds = eval_step(state, video, metadata)
+        preds = preds[0] if isinstance(preds, tuple) else preds
+        preds_h = _to_host(preds)
+        masks_h = _to_host(metadata["boxes_mask"])
+        ori_h = _to_host(metadata["ori_boxes"])
+        vidx_h = _to_host(metadata["video_idx"])
+        sec_h = _to_host(metadata["sec"])
+        labels_h = _to_host(labels)
+        from focus_tpu.utils.ava_eval import make_image_key
+
+        keys = [
+            make_image_key(
+                names[int(v)] if int(v) < len(names) else str(int(v)),
+                int(s),
+            )
+            for v, s in zip(vidx_h, sec_h)
+        ]
+        test_meter.update_stats(preds_h, ori_h, masks_h, keys, labels_h)
+        test_meter.iter_toc()
+        test_meter.log_iter_stats(None, cur_iter)
+    return test_meter.finalize_metrics()
+
+
 def perform_test(test_loader, state, eval_step, test_meter, cfg):
     for cur_iter, batch in enumerate(test_loader):
         video, labels, video_idx, metadata = _split_test_batch(batch)
@@ -77,6 +108,17 @@ def test(cfg):
     state = jax.device_put(state, mesh_lib.replicated(mesh))
 
     eval_step = make_supervised_eval_step(model, cfg, mesh)
+
+    if cfg.DETECTION.ENABLE:
+        from focus_tpu.utils.meters import AVAMeter
+
+        names = getattr(test_loader.dataset, "_video_idx_to_name", None)
+        test_meter = AVAMeter(
+            len(test_loader), cfg, "test", video_idx_to_name=names
+        )
+        return perform_test_detection(
+            test_loader, state, eval_step, test_meter, cfg
+        )
 
     num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
     num_videos = len(test_loader.dataset) // num_clips

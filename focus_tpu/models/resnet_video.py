@@ -98,6 +98,10 @@ class SlowFast(nn.Module):
 
     @nn.compact
     def __call__(self, xs: List, metadata=None, bboxes=None, train: bool = False):
+        # single-pathway datasets yield a raw [B,T,H,W,C] array rather
+        # than a 1-list (datasets/*: pathways[0] when len==1)
+        if not isinstance(xs, (list, tuple)):
+            xs = [xs]
         c = self.cfg
         norm = get_norm(c)
         pool_size = _POOL1[c.MODEL.ARCH]
@@ -204,6 +208,10 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, xs: List, metadata=None, bboxes=None, train: bool = False):
+        # single-pathway datasets yield a raw [B,T,H,W,C] array rather
+        # than a 1-list (datasets/*: pathways[0] when len==1)
+        if not isinstance(xs, (list, tuple)):
+            xs = [xs]
         c = self.cfg
         norm = get_norm(c)
         pool_size = _POOL1[c.MODEL.ARCH]
@@ -267,6 +275,10 @@ class X3D(nn.Module):
 
     @nn.compact
     def __call__(self, xs: List, metadata=None, bboxes=None, train: bool = False):
+        # single-pathway datasets yield a raw [B,T,H,W,C] array rather
+        # than a 1-list (datasets/*: pathways[0] when len==1)
+        if not isinstance(xs, (list, tuple)):
+            xs = [xs]
         c = self.cfg
         norm = get_norm(c)
         ng = c.RESNET.NUM_GROUPS

@@ -476,9 +476,21 @@ class EPICTestMeter:
 
 
 class AVAMeter:
-    """Buffers detection predictions for frame-mAP (reference meters.py:50-232)."""
+    """Buffers detection predictions for frame-mAP (reference meters.py:50-232).
 
-    def __init__(self, overall_iters, cfg, mode):
+    When the official annotation files exist (cfg.AVA.ANNOTATION_DIR +
+    EXCLUSION_FILE / LABEL_MAP_FILE / GROUNDTRUTH_FILE), evaluation
+    follows the published protocol: GT from the official CSV, excluded
+    timestamps dropped, classes restricted to the labelmap whitelist
+    (reference meters.py:73-87 + ava_eval_helper.py). Otherwise it falls
+    back to scoring against the ground truth buffered from the batches
+    (synthetic-data tests)."""
+
+    def __init__(self, overall_iters, cfg, mode, video_idx_to_name=None):
+        import os
+
+        from focus_tpu.utils import ava_eval
+
         self.cfg = cfg
         self.mode = mode
         self.iter_timer = Timer()
@@ -488,6 +500,27 @@ class AVAMeter:
         self.all_keys = []
         self.all_labels = []
         self.full_map = 0.0
+        self.full_ava_test = cfg.AVA.FULL_TEST_ON_VAL
+        self.video_idx_to_name = video_idx_to_name
+
+        ann = cfg.AVA.ANNOTATION_DIR
+        self.excluded_keys = ava_eval.read_exclusions(
+            os.path.join(ann, cfg.AVA.EXCLUSION_FILE) if ann else None
+        )
+        self.categories, self.class_whitelist = ava_eval.read_labelmap(
+            os.path.join(ann, cfg.AVA.LABEL_MAP_FILE) if ann else None
+        )
+        gt_path = os.path.join(ann, cfg.AVA.GROUNDTRUTH_FILE) if ann else ""
+        if gt_path and os.path.exists(gt_path):
+            self.full_groundtruth = ava_eval.read_csv(
+                gt_path, self.class_whitelist or None
+            )
+            self.mini_groundtruth = ava_eval.get_ava_mini_groundtruth(
+                self.full_groundtruth
+            )
+        else:
+            self.full_groundtruth = None
+            self.mini_groundtruth = None
 
     def reset(self):
         self.all_preds.clear()
@@ -522,30 +555,66 @@ class AVAMeter:
         )
 
     def finalize_metrics(self):
+        from collections import defaultdict
+
         from focus_tpu.utils import ava_eval
 
-        groundtruth = []
-        for boxes, mask, key, labels in zip(
-            self.all_ori_boxes, self.all_masks, self.all_keys, self.all_labels
-        ):
-            valid = mask > 0
-            b = boxes[valid]
-            l = labels[valid]
-            rows_b, rows_c = [], []
-            for bi in range(len(b)):
-                for c in np.nonzero(l[bi])[0]:
-                    rows_b.append(b[bi])
-                    rows_c.append(c + 1)
-            if rows_b:
-                groundtruth.append(
-                    (key, np.asarray(rows_b), np.asarray(rows_c))
-                )
-        result = ava_eval.run_evaluation_from_buffers(
-            self.all_preds, self.all_ori_boxes, self.all_masks, self.all_keys,
-            self.cfg.MODEL.NUM_CLASSES, groundtruth=groundtruth,
-        )
+        if self.full_groundtruth is not None:
+            # official protocol: GT from csv, exclusions, class whitelist
+            det_boxes = defaultdict(list)
+            det_labels = defaultdict(list)
+            det_scores = defaultdict(list)
+            for preds, boxes, mask, key in zip(
+                self.all_preds, self.all_ori_boxes, self.all_masks,
+                self.all_keys,
+            ):
+                valid = mask > 0
+                for b, p in zip(boxes[valid], preds[valid]):
+                    box = [b[1], b[0], b[3], b[2]]  # -> [y1,x1,y2,x2]
+                    for cls_idx, score in enumerate(p):
+                        if (
+                            not self.class_whitelist
+                            or (cls_idx + 1) in self.class_whitelist
+                        ):
+                            det_boxes[key].append(box)
+                            det_labels[key].append(cls_idx + 1)
+                            det_scores[key].append(float(score))
+            gt = (
+                self.full_groundtruth
+                if (self.mode == "test" or self.full_ava_test)
+                else self.mini_groundtruth
+            )
+            result = ava_eval.run_evaluation(
+                self.categories, gt, (det_boxes, det_labels, det_scores),
+                self.excluded_keys,
+            )
+        else:
+            groundtruth = []
+            for boxes, mask, key, labels in zip(
+                self.all_ori_boxes, self.all_masks, self.all_keys,
+                self.all_labels,
+            ):
+                valid = mask > 0
+                b = boxes[valid]
+                l = labels[valid]
+                rows_b, rows_c = [], []
+                for bi in range(len(b)):
+                    for c in np.nonzero(l[bi])[0]:
+                        rows_b.append(b[bi])
+                        rows_c.append(c + 1)
+                if rows_b:
+                    groundtruth.append(
+                        (key, np.asarray(rows_b), np.asarray(rows_c))
+                    )
+            result = ava_eval.run_evaluation_from_buffers(
+                self.all_preds, self.all_ori_boxes, self.all_masks,
+                self.all_keys, self.cfg.MODEL.NUM_CLASSES,
+                groundtruth=groundtruth,
+            )
         self.full_map = result["map"]
-        logging.log_json_stats({"_type": "ava_final", "map": self.full_map})
+        logging.log_json_stats(
+            {"_type": "ava_final", "mode": self.mode, "map": self.full_map}
+        )
         return result
 
 

@@ -149,4 +149,10 @@ def make_ava_tree(root, num_videos=2, num_frames=70, size=64, fps=30,
                          f"{x2:.3f}", f"{y2:.3f}",
                          rs.randint(1, num_classes + 1), 1]
                     )
+    # labelmap (pbtxt) whitelisting every class, and one excluded timestamp
+    with open(os.path.join(ann_dir, "labelmap.pbtxt"), "w") as f:
+        for c in range(1, num_classes + 1):
+            f.write(f'item {{\n  name: "action_{c}"\n  id: {c}\n}}\n')
+    with open(os.path.join(ann_dir, "excluded.csv"), "w") as f:
+        f.write(f"{video_names[0]},{secs[-1]}\n")
     return root
