@@ -110,8 +110,11 @@ class MotionStream(nn.Module):
         box_emb = box_categories[None].astype(box_emb.dtype) + box_emb  # [BS,T,O,d]
 
         flat = box_emb.reshape(BS, T * O, in_dim)
+        # the reference passes the ORViT block's num_heads through
+        # (orvit.py:93,237-239); ORVIT.MOTION_STREAM_N_HEADS exists in its
+        # config but is never consumed
         flat, _ = SelfAttentionBlock(
-            dim=in_dim, num_heads=c.ORVIT.MOTION_STREAM_N_HEADS,
+            dim=in_dim, num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
             drop_rate=self.attn_drop, dtype=self.dtype, name="attn",
         )(flat, deterministic=deterministic)

@@ -88,15 +88,20 @@ class SlotAttentionVideo(nn.Module):
         next_slots = self.predictor(slots)
         return next_slots, (slots, attn_vis)
 
-    def __call__(self, inputs):
-        """inputs: [B, T, N, input_size] -> (slots [B,T,S,D], attns [B,T,N,S])."""
+    def __call__(self, inputs, noise=None):
+        """inputs: [B, T, N, input_size] -> (slots [B,T,S,D], attns [B,T,N,S]).
+
+        noise: optional fixed [B, S, D] slot-init noise (testing hook for
+        cross-framework parity; default samples from the 'slots' rng).
+        """
         B = inputs.shape[0]
         compute_dtype = self.dtype or inputs.dtype
-        noise = jax.random.normal(
-            self.make_rng("slots"),
-            (B, self.num_slots, self.slot_size),
-            jnp.float32,
-        )
+        if noise is None:
+            noise = jax.random.normal(
+                self.make_rng("slots"),
+                (B, self.num_slots, self.slot_size),
+                jnp.float32,
+            )
         slots0 = (
             self.slot_mu + jnp.exp(self.slot_log_sigma) * noise
         ).astype(compute_dtype)

@@ -1,0 +1,358 @@
+#!/usr/bin/env python3
+"""Generate golden parity fixtures from the ACTUAL reference modules.
+
+Runs the reference's own torch code (/root/reference/slowfast/...) on tiny
+fixed inputs and saves inputs + torch state_dicts + outputs as .npz under
+tests/fixtures/. The parity tests (tests/test_golden_parity.py) then check
+the flax implementations against these — a true oracle, unlike a
+self-authored torch replica (round-1 VERDICT weakness #3).
+
+Import blockers (iopath/fvcore/torchvision — not installed here) are
+stubbed in sys.modules; the only stub that affects numerics is
+torchvision.ops.roi_align, replaced by a naive pure-torch implementation
+of its aligned=True / sampling_ratio=-1 semantics — so the full ORViT
+block fixture is an oracle modulo that one op (which is itself unit-tested
+against the documented semantics in tests/test_orvit_ops.py).
+
+Usage: python scripts/make_golden_fixtures.py
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tests", "fixtures")
+
+
+# ---------------------------------------------------------------- stubs
+def _install_stubs():
+    class _PM:
+        def register_handler(self, *a, **k):
+            pass
+
+        def open(self, *a, **k):
+            return open(*a, **k)
+
+    for name in ("iopath", "iopath.common", "iopath.common.file_io"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    fio = sys.modules["iopath.common.file_io"]
+    fio.PathManagerFactory = types.SimpleNamespace(get=lambda *a, **k: _PM())
+    fio.g_pathmgr = _PM()
+
+    # fvcore: registry + weight init are the only pieces the model modules
+    # pull in at import time
+    class Registry:
+        def __init__(self, name):
+            self._name, self._map = name, {}
+
+        def register(self, obj=None):
+            if obj is None:
+                def deco(o):
+                    self._map[o.__name__] = o
+                    return o
+                return deco
+            self._map[obj.__name__] = obj
+            return obj
+
+        def get(self, name):
+            return self._map[name]
+
+    for name in ("fvcore", "fvcore.common", "fvcore.common.registry",
+                 "fvcore.nn", "fvcore.common.config", "fvcore.nn.weight_init",
+                 "fvcore.common.timer"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["fvcore.common.registry"].Registry = Registry
+    sys.modules["fvcore.common.timer"].Timer = object
+    wi = sys.modules["fvcore.nn.weight_init"]
+    wi.c2_msra_fill = lambda m: None
+    wi.c2_xavier_fill = lambda m: None
+    fn = sys.modules["fvcore.nn"]
+    fn.flop_count = None
+    fn.parameter_count = None
+    fn.weight_init = wi
+
+    sys.modules.setdefault("simplejson", __import__("json"))
+
+    ed = types.ModuleType("easydict")
+
+    class EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    ed.EasyDict = EasyDict
+    sys.modules.setdefault("easydict", ed)
+
+    # torchvision.ops.roi_align — naive pure-torch implementation of
+    # aligned=True / sampling_ratio=-1 (torchvision-documented semantics)
+    def roi_align(feats, rois, output_size, spatial_scale=1.0,
+                  sampling_ratio=-1, aligned=True):
+        if isinstance(output_size, int):
+            output_size = (output_size, output_size)
+        ph, pw = output_size
+        if isinstance(rois, (list, tuple)):
+            rois = torch.cat(
+                [
+                    torch.cat(
+                        [torch.full((len(b), 1), float(i)), b], dim=1
+                    )
+                    for i, b in enumerate(rois)
+                ],
+                dim=0,
+            )
+        N, C, H, W = feats.shape
+        out = feats.new_zeros((rois.shape[0], C, ph, pw))
+        offset = 0.5 if aligned else 0.0
+        for ri, roi in enumerate(rois):
+            b = int(roi[0].item())
+            x1, y1, x2, y2 = (roi[1:5] * spatial_scale - offset).tolist() \
+                if aligned else (roi[1:5] * spatial_scale).tolist()
+            rw = max(x2 - x1, 1e-10 if aligned else 1.0)
+            rh = max(y2 - y1, 1e-10 if aligned else 1.0)
+            bin_w, bin_h = rw / pw, rh / ph
+            sx = sampling_ratio if sampling_ratio > 0 else max(
+                1, int(np.ceil(rw / pw)))
+            sy = sampling_ratio if sampling_ratio > 0 else max(
+                1, int(np.ceil(rh / ph)))
+            for py in range(ph):
+                for px in range(pw):
+                    acc = feats.new_zeros((C,))
+                    for iy in range(sy):
+                        yy = y1 + py * bin_h + (iy + 0.5) * bin_h / sy
+                        for ix in range(sx):
+                            xx = x1 + px * bin_w + (ix + 0.5) * bin_w / sx
+                            if yy < -1.0 or yy > H or xx < -1.0 or xx > W:
+                                continue
+                            yyc = min(max(yy, 0.0), H - 1)
+                            xxc = min(max(xx, 0.0), W - 1)
+                            y0, x0 = int(yyc), int(xxc)
+                            y1i, x1i = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                            ly, lx = yyc - y0, xxc - x0
+                            acc = acc + (
+                                feats[b, :, y0, x0] * (1 - ly) * (1 - lx)
+                                + feats[b, :, y0, x1i] * (1 - ly) * lx
+                                + feats[b, :, y1i, x0] * ly * (1 - lx)
+                                + feats[b, :, y1i, x1i] * ly * lx
+                            )
+                    out[ri, :, py, px] = acc / (sx * sy)
+        return out
+
+    for name in ("torchvision", "torchvision.ops", "torchvision.ops.boxes",
+                 "torchvision.models"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision.ops"].roi_align = roi_align
+
+    def box_area(boxes):
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    sys.modules["torchvision.ops.boxes"].box_area = box_area
+    sys.modules["torchvision.ops"].boxes = sys.modules["torchvision.ops.boxes"]
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
+
+    # detectron2.layers.ROIAlign — module wrapper over the same roi_align
+    for name in ("detectron2", "detectron2.layers"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+
+    class ROIAlign(torch.nn.Module):
+        def __init__(self, output_size, spatial_scale, sampling_ratio,
+                     aligned=True):
+            super().__init__()
+            self.output_size = output_size
+            self.spatial_scale = spatial_scale
+            self.sampling_ratio = sampling_ratio
+            self.aligned = aligned
+
+        def forward(self, feats, rois):
+            return roi_align(
+                feats, rois, self.output_size, self.spatial_scale,
+                self.sampling_ratio, self.aligned,
+            )
+
+    sys.modules["detectron2.layers"].ROIAlign = ROIAlign
+
+    sys.path.insert(0, "/root/reference")
+
+
+def _sd_to_np(module):
+    return {f"sd/{k}": v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def save(name, **arrays):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.npz")
+    np.savez_compressed(path, **arrays)
+    print(f"wrote {path}: {sorted(arrays)[:6]}...")
+
+
+# ------------------------------------------------------------- fixtures
+def gen_trajectory_attention():
+    from slowfast.models.attention import TrajectoryAttention
+
+    torch.manual_seed(0)
+    B, F, P, C, h = 2, 4, 4, 32, 4
+    x = torch.randn(B, 1 + F * P, C)
+    for orig in (True, False):
+        torch.manual_seed(1)
+        mod = TrajectoryAttention(C, num_heads=h, qkv_bias=True,
+                                  use_original_code=orig).eval()
+        with torch.no_grad():
+            y, _ = mod(x, (F, 2, 2))
+        save(
+            f"trajectory_attention_{'orig' if orig else 'learnedv'}",
+            x=x.numpy(), out=y.numpy(), thw=np.array([F, 2, 2]),
+            num_heads=np.array(h), **_sd_to_np(mod),
+        )
+
+
+def gen_layout():
+    from slowfast.models.ORViT.utils import box2spatial_layout
+
+    torch.manual_seed(2)
+    BS, T, O, d, H, W = 2, 3, 4, 8, 7, 7
+    boxes = torch.rand(BS, T, O, 4) * 0.4 + 0.1  # cxcywh, in-bounds
+    boxes[0, :, 2] = 0.0  # an illegal all-zero box slot
+    vecs = torch.randn(BS, T, O, d)
+    with torch.no_grad():
+        seg = box2spatial_layout(boxes, vecs, H, W)  # [B, d, T, H, W]
+    save("box_layout", boxes=boxes.numpy(), vecs=vecs.numpy(),
+         out=seg.numpy(), hw=np.array([H, W]))
+
+
+def gen_slot_attention():
+    from slowfast.models.STEVE.steve import SlotAttentionVideo
+
+    torch.manual_seed(3)
+    B, T, N, D_in, S, D_slot = 2, 3, 9, 12, 4, 16
+    inputs = torch.randn(B, T, N, D_in)
+    noise = torch.randn(B, S, D_slot)
+    mod = SlotAttentionVideo(
+        num_iterations=2, num_slots=S, input_size=D_in, slot_size=D_slot,
+        mlp_hidden_size=24, num_predictor_blocks=1, num_predictor_heads=2,
+        dropout=0.0,
+    ).eval()
+
+    # make the random slot init deterministic and recorded
+    orig_normal_ = torch.Tensor.normal_
+
+    def fixed_normal_(self, *a, **k):
+        self.copy_(noise.to(self.dtype))
+        return self
+
+    torch.Tensor.normal_ = fixed_normal_
+    try:
+        with torch.no_grad():
+            slots, attns = mod(inputs)
+    finally:
+        torch.Tensor.normal_ = orig_normal_
+    save("slot_attention_video", inputs=inputs.numpy(), noise=noise.numpy(),
+         slots=slots.numpy(), attns=attns.numpy(), **_sd_to_np(mod))
+
+
+def gen_dvae():
+    from slowfast.models.STEVE.dvae import dVAE
+
+    torch.manual_seed(4)
+    vocab, C = 16, 3
+    mod = dVAE(vocab, C).eval()
+    x = torch.rand(2, C, 16, 16)
+    with torch.no_grad():
+        logits = mod.encoder(x)
+        z_hard = torch.zeros_like(logits)
+        z_hard.scatter_(1, logits.argmax(1, keepdim=True), 1.0)
+        recon = mod.decoder(z_hard)
+    save("dvae", x=x.numpy(), logits=logits.numpy(), z_hard=z_hard.numpy(),
+         recon=recon.numpy(), **_sd_to_np(mod))
+
+
+def gen_steve_transformer():
+    from slowfast.models.STEVE.transformer import TransformerDecoder
+
+    torch.manual_seed(5)
+    L, d, h, S = 6, 16, 2, 4
+    mod = TransformerDecoder(
+        num_blocks=2, max_len=L, d_model=d, num_heads=h, dropout=0.0
+    ).eval()
+    inp = torch.randn(2, L, d)
+    encoder_out = torch.randn(2, S, d)
+    with torch.no_grad():
+        out = mod(inp, encoder_out)
+    save("steve_transformer_decoder", inp=inp.numpy(),
+         encoder_out=encoder_out.numpy(), out=out.numpy(), **_sd_to_np(mod))
+
+
+def gen_multiscale_attention():
+    from slowfast.models.attention import MultiScaleAttention
+
+    torch.manual_seed(6)
+    B, T, H, W, C, h = 2, 4, 4, 4, 16, 2
+    thw = [T, H, W]
+    x = torch.randn(B, 1 + T * H * W, C)
+    import functools
+
+    mod = MultiScaleAttention(
+        C, num_heads=h, qkv_bias=True, kernel_q=(1, 3, 3),
+        kernel_kv=(1, 3, 3), stride_q=(1, 1, 1), stride_kv=(1, 2, 2),
+        mode="conv", has_cls_embed=True, pool_first=False,
+        # MViT constructs every LN with eps=1e-6 (video_model_builder.py:803)
+        norm_layer=functools.partial(torch.nn.LayerNorm, eps=1e-6),
+    ).eval()
+    with torch.no_grad():
+        (y, out_thw), _attn = mod(x, thw)
+    save("multiscale_attention", x=x.numpy(), out=y.numpy(),
+         thw=np.array(thw), out_thw=np.array(out_thw),
+         num_heads=np.array(h), **_sd_to_np(mod))
+
+
+def gen_orvit_block():
+    from slowfast.models.ORViT.orvit import ORViT
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from focus_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.ORVIT.O = 3
+    cfg.ORVIT.USE_MOTION_STREAM = True
+    cfg.ORVIT.MOTION_STREAM_ATTN_TYPE = "joint"
+    cfg.DATA.NUM_FRAMES = 4
+    torch.manual_seed(7)
+    B, T, HW, C, O = 2, 2, 9, 32, 3
+    import functools
+
+    mod = ORViT(cfg, dim=C, num_heads=4, attn_type="trajectory",
+                qkv_bias=True, use_original_code=True, nb_frames=T,
+                # Motionformer passes eps=1e-6 (video_model_builder.py:1129)
+                norm_layer=functools.partial(torch.nn.LayerNorm, eps=1e-6),
+                ).eval()
+    x = torch.randn(B, 1 + T * HW, C)
+    boxes = torch.rand(B, T, O, 4) * 0.3 + 0.2  # cxcywh
+    metadata = {"orvit_bboxes": boxes}
+    with torch.no_grad():
+        y, _ = mod(x, metadata, (T, 3, 3))
+    save("orvit_block", x=x.numpy(), boxes=boxes.numpy(), out=y.numpy(),
+         thw=np.array([T, 3, 3]), **_sd_to_np(mod))
+
+
+def main():
+    _install_stubs()
+    gen_trajectory_attention()
+    gen_layout()
+    gen_slot_attention()
+    gen_dvae()
+    gen_steve_transformer()
+    gen_multiscale_attention()
+    gen_orvit_block()
+
+
+if __name__ == "__main__":
+    main()
