@@ -101,6 +101,23 @@ class Ava:
         self._image_paths, self._video_idx_to_name = load_image_lists(
             cfg, is_train
         )
+        self.orvit_boxes = None
+        if cfg.ORVIT.ENABLE:
+            # SORT-linked person tracks for the ORViT stream (reference
+            # ava_dataset.py:89-90, ava_helper.py:240-259)
+            from focus_tpu.utils.linkboxes.generate import get_ava_boxes
+
+            names = (
+                cfg.AVA.TRAIN_GT_BOX_LISTS
+                if is_train
+                else cfg.AVA.TEST_PREDICT_BOX_LISTS
+            )
+            paths = [os.path.join(cfg.AVA.ANNOTATION_DIR, p) for p in names]
+            self.orvit_boxes = get_ava_boxes(
+                paths,
+                cache_dir=os.path.join(cfg.AVA.ANNOTATION_DIR,
+                                       "linked_boxes"),
+            )
         name_list = sorted(
             self._video_idx_to_name, key=self._video_idx_to_name.get
         ) if isinstance(self._video_idx_to_name, dict) else self._video_idx_to_name
@@ -140,6 +157,22 @@ class Ava:
         boxes = np.array([e[0] for e in entries], np.float32)  # normalised
         boxes[:, [0, 2]] *= W
         boxes[:, [1, 3]] *= H
+
+        # ORViT linked tracks ride the person-box co-transform: append as
+        # extra rows, split back out after aug (reference
+        # ava_dataset.py:405-410, 430-448)
+        n_person = len(boxes)
+        orvit_T = orvit_O = 0
+        if self.orvit_boxes is not None:
+            # linked boxes are in AVA's normalised coordinates; bring them
+            # to pixels so they co-transform with the person boxes
+            ob = self._get_orvit_boxes(vidx, seq) * np.array(
+                [W, H, W, H], np.float32
+            )
+            orvit_T, orvit_O = ob.shape[:2]
+            boxes = np.concatenate(
+                [boxes, ob.reshape(-1, 4).astype(np.float32)], axis=0
+            )
         # multi-hot labels per box
         labels = np.zeros((len(entries), self._num_classes), np.int32)
         for i, (_, ls) in enumerate(entries):
@@ -147,7 +180,9 @@ class Ava:
                 if 0 < l <= self._num_classes:
                     labels[i, l - 1] = 1
 
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        # reference op order (_images_and_boxes_preprocessing,
+        # ava_dataset.py:280-352): /255, geometric aug, color aug, mean/std
+        frames = frames.astype(np.float32) / 255.0
         if self._split == "train":
             frames, boxes = xf.random_short_side_scale_jitter(
                 frames, cfg.DATA.TRAIN_JITTER_SCALES[0],
@@ -167,8 +202,37 @@ class Ava:
                 frames, boxes = xf.uniform_crop(
                     frames, cfg.DATA.TEST_CROP_SIZE, 1, boxes=boxes
                 )
+        if self._split == "train" and cfg.AVA.TRAIN_USE_COLOR_AUGMENTATION:
+            # (reference ava_dataset.py:333-347)
+            if not cfg.AVA.TRAIN_PCA_JITTER_ONLY:
+                frames = xf.color_jitter(
+                    frames, rng, img_brightness=0.4, img_contrast=0.4,
+                    img_saturation=0.4,
+                )
+            frames = xf.lighting_jitter(
+                frames, 0.1, cfg.DATA.TRAIN_PCA_EIGVAL,
+                cfg.DATA.TRAIN_PCA_EIGVEC, rng,
+            )
+        frames = xf.color_normalization(frames, cfg.DATA.MEAN, cfg.DATA.STD)
         h, w = frames.shape[1:3]
         boxes = xf.clip_boxes_to_image(boxes, h, w)
+
+        orvit_bboxes = None
+        if self.orvit_boxes is not None:
+            ob = boxes[n_person:].reshape(orvit_T, orvit_O, 4)
+            boxes = boxes[:n_person]
+            ob = ob / np.array([w, h, w, h], np.float32)
+            # xyxy -> cxcywh, empties zeroed (reference :441-448)
+            cxy = np.empty_like(ob)
+            cxy[..., 0] = (ob[..., 0] + ob[..., 2]) / 2
+            cxy[..., 1] = (ob[..., 1] + ob[..., 3]) / 2
+            cxy[..., 2] = ob[..., 2] - ob[..., 0]
+            cxy[..., 3] = ob[..., 3] - ob[..., 1]
+            from focus_tpu.utils.box_ops import zero_empty_boxes_np
+
+            orvit_bboxes = zero_empty_boxes_np(cxy, "cxcywh").astype(
+                np.float32
+            )
 
         # pad to static MAX_BOXES
         n = min(len(boxes), MAX_BOXES)
@@ -189,6 +253,37 @@ class Ava:
             "video_idx": np.int32(vidx),
             "sec": np.int32(sec),
         }
+        if orvit_bboxes is not None:
+            metadata["orvit_bboxes"] = orvit_bboxes
         pathways = data_utils.pack_pathway_output(cfg, frames)
         videos = pathways[0] if len(pathways) == 1 else tuple(pathways)
         return videos, padded_labels, np.int32(index), metadata
+
+    def _get_orvit_boxes(self, video_idx, seq):
+        """Linked tracks -> fixed-O per-frame boxes in pixel coordinates
+        (reference ava_dataset.py:461-504 ``get_orvit_boxes_provided``)."""
+        from focus_tpu.utils.linkboxes.generate import AVA_FPS
+
+        O = self.cfg.ORVIT.O
+        vid = self._video_idx_to_name[video_idx]
+        vboxes = self.orvit_boxes.get(vid, {})
+        # the linked dict is keyed on the keyframe grid (whole seconds);
+        # snap each clip frame to its keyframe (reference round_frame)
+        keys = [int(round(f / AVA_FPS)) * AVA_FPS for f in seq]
+        rows = [np.asarray(vboxes.get(k, np.empty((0, 5)))) for k in keys]
+        global2local: dict = {}
+
+        def getidx(g):
+            if g not in global2local:
+                global2local[g] = len(global2local)
+            return global2local[g]
+
+        T = len(seq)
+        out = np.zeros((T, O, 4), np.float32)
+        for fidx, boxes in enumerate(rows):
+            boxes = boxes.reshape(-1, 5)
+            for row in boxes:
+                slot = getidx(int(row[4]))
+                if slot < O:
+                    out[fidx, slot] = row[:4]
+        return out

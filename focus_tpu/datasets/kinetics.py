@@ -29,6 +29,9 @@ class Kinetics:
             1 if mode in ["train", "val"]
             else cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
         )
+        # MViT-style training recipe (reference kinetics.py:60-66)
+        self.aug = mode == "train" and cfg.AUG.ENABLE
+        self.rand_erase = self.aug and cfg.AUG.RE_PROB > 0
         self._construct_loader()
 
     def _construct_loader(self):
@@ -100,6 +103,40 @@ class Kinetics:
         if frames is None:
             raise RuntimeError("Failed to fetch video after retries")
 
+        label = np.int32(self._labels[index])
+        if self.aug:
+            # MViT recipe: RandAugment + relative-scale crop (+motion
+            # shift) + RandomErasing (reference kinetics.py:286-409);
+            # AUG.NUM_SAMPLE repeated augmentations come back stacked on a
+            # leading axis and are flattened into the batch by the loader
+            samples = []
+            for _ in range(max(cfg.AUG.NUM_SAMPLE, 1)):
+                f = self._aug_frame(
+                    frames, spatial_idx, min_scale, max_scale, crop_size, rng
+                )
+                pathways = data_utils.pack_pathway_output(cfg, f)
+                samples.append(
+                    pathways[0] if len(pathways) == 1 else tuple(pathways)
+                )
+            if cfg.AUG.NUM_SAMPLE > 1:
+                videos = (
+                    np.stack(samples)
+                    if not isinstance(samples[0], tuple)
+                    else tuple(
+                        np.stack([s[i] for s in samples])
+                        for i in range(len(samples[0]))
+                    )
+                )
+                n = cfg.AUG.NUM_SAMPLE
+                return (
+                    videos,
+                    np.full((n,), label, np.int32),
+                    np.full((n,), index, np.int32),
+                    {},
+                )
+            videos = samples[0]
+            return videos, label, np.int32(index), {}
+
         frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
         frames = data_utils.spatial_sampling(
             frames,
@@ -113,4 +150,43 @@ class Kinetics:
         )
         pathways = data_utils.pack_pathway_output(cfg, frames)
         videos = pathways[0] if len(pathways) == 1 else tuple(pathways)
-        return videos, np.int32(self._labels[index]), np.int32(index), {}
+        return videos, label, np.int32(index), {}
+
+    def _aug_frame(self, frames, spatial_idx, min_scale, max_scale,
+                   crop_size, rng):
+        """One augmented view (reference kinetics.py:346-409): RandAugment
+        on uint8 frames, normalize, relative-scale/aspect Inception crop
+        (motion-shifted when DATA.TRAIN_JITTER_MOTION_SHIFT), random
+        erasing."""
+        cfg = self.cfg
+        from focus_tpu.datasets.rand_augment import rand_augment_video
+
+        if cfg.AUG.AA_TYPE:
+            f, _ = rand_augment_video(frames, None, cfg.AUG.AA_TYPE, rng=rng)
+        else:
+            f = frames
+        f = data_utils.tensor_normalize(f, cfg.DATA.MEAN, cfg.DATA.STD)
+        scl = list(cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE)
+        asp = list(cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE)
+        f = data_utils.spatial_sampling(
+            f,
+            spatial_idx=spatial_idx,
+            min_scale=min_scale,
+            max_scale=max_scale,
+            crop_size=crop_size,
+            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+            aspect_ratio=asp if asp else None,
+            scale=scl if scl else None,
+            motion_shift=cfg.DATA.TRAIN_JITTER_MOTION_SHIFT,
+            rng=rng,
+        )
+        if self.rand_erase:
+            from focus_tpu.datasets.random_erasing import RandomErasing
+
+            erase = RandomErasing(
+                cfg.AUG.RE_PROB, mode=cfg.AUG.RE_MODE,
+                max_count=cfg.AUG.RE_COUNT, num_splits=cfg.AUG.RE_COUNT,
+            )
+            f = erase(f, rng=rng)
+        return f

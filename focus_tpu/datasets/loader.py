@@ -85,6 +85,7 @@ class DataLoader:
         prefetch: int = 2,
         pad_last: bool = False,
         short_cycle_factors=None,
+        flatten_samples: int = 1,
     ):
         self.dataset = dataset
         self.global_batch_size = global_batch_size
@@ -96,6 +97,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.pad_last = pad_last
         self.short_cycle_factors = short_cycle_factors
+        # repeated-augmentation factor: samples come back stacked on a
+        # leading axis and are flattened into the batch (the reference's
+        # multiple_samples_collate, loader.py:20-42)
+        self.flatten_samples = flatten_samples
         self.epoch = 0
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
@@ -186,6 +191,10 @@ class DataLoader:
                         samples = list(pool.map(self.dataset.__getitem__, idx))
                         batch = _stack_tree(samples)
                         batch = _mark_padded(batch, pad_mask)
+                        if self.flatten_samples > 1:
+                            batch = jax.tree_util.tree_map(
+                                lambda a: a.reshape(-1, *a.shape[2:]), batch
+                            )
                         if self.sharding is not None:
                             batch = jax.tree_util.tree_map(
                                 lambda x: _put_global(x, self.sharding), batch
@@ -235,6 +244,12 @@ def construct_loader(cfg, split: str, sharding=None, is_precise_bn: bool = False
         batch_size = cfg.TEST.BATCH_SIZE
         shuffle, drop_last = False, False
     dataset = build_dataset(dataset_name, cfg, split)
+    flatten = (
+        cfg.AUG.NUM_SAMPLE
+        if split == "train" and cfg.AUG.ENABLE and cfg.AUG.NUM_SAMPLE > 1
+        and not is_precise_bn
+        else 1
+    )
     short_cycle = None
     if (
         split == "train"
@@ -254,6 +269,7 @@ def construct_loader(cfg, split: str, sharding=None, is_precise_bn: bool = False
         prefetch=cfg.TPU.PREFETCH,
         pad_last=not drop_last,
         short_cycle_factors=short_cycle,
+        flatten_samples=flatten,
     )
 
 

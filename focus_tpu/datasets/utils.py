@@ -77,21 +77,39 @@ def spatial_sampling(
     crop_size: int = 224,
     random_horizontal_flip: bool = True,
     inverse_uniform_sampling: bool = False,
+    aspect_ratio=None,
+    scale=None,
+    motion_shift: bool = False,
     rng: np.random.RandomState | None = None,
 ) -> np.ndarray:
     """Scale-jitter + crop (+flip) (reference utils.py:111-187).
 
     frames: [T, H, W, C]. spatial_idx -1 => random crop (train);
-    0/1/2 => left/center/right (or top/center/bottom) crop (test)."""
+    0/1/2 => left/center/right (or top/center/bottom) crop (test).
+    When ``scale``/``aspect_ratio`` are given (the MViT recipes'
+    TRAIN_JITTER_SCALES_RELATIVE / _ASPECT_RELATIVE), training uses
+    Inception-style relative crops; ``motion_shift`` pans the crop box
+    across the clip (reference utils.py:152-176)."""
     rng = rng or np.random.RandomState()
     from focus_tpu.datasets import transform as xf
 
     if spatial_idx == -1:
-        frames = xf.random_short_side_scale_jitter(
-            frames, min_scale, max_scale, rng,
-            inverse_uniform_sampling=inverse_uniform_sampling,
-        )
-        frames = xf.random_crop(frames, crop_size, rng)
+        if aspect_ratio is None and scale is None:
+            frames = xf.random_short_side_scale_jitter(
+                frames, min_scale, max_scale, rng,
+                inverse_uniform_sampling=inverse_uniform_sampling,
+            )
+            frames = xf.random_crop(frames, crop_size, rng)
+        else:
+            crop_fn = (
+                xf.random_resized_crop_with_shift
+                if motion_shift
+                else xf.random_resized_crop
+            )
+            frames = crop_fn(
+                frames, crop_size, crop_size, rng,
+                scale=tuple(scale), ratio=tuple(aspect_ratio),
+            )
         if random_horizontal_flip:
             frames = xf.horizontal_flip(frames, 0.5, rng)
     else:

@@ -33,86 +33,135 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fused_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
-                  o_ref, xs_ref, *, scale, n_valid, f, h, bq):
-    """Grid (b, q_block, frame); frame innermost so the per-frame stage-1
-    aggregates accumulate in the persistent xs scratch, and stage 2 runs
-    on the last frame step.
+_LOG2E = 1.4426950408889634
 
-    q_ref: [1, BQ, C]; k_ref/v_ref: [1, 1, N_pad, C]; wq2/wk2: [C, C];
-    bq2/bk2: [1, C]; o_ref: [1, BQ, C]; xs_ref (scratch): [F, BQ, C].
+
+def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
+                     o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq,
+                     nomax=True, inline_diag=True, stage2_bf16=True):
+    """Fused trajectory core, VPU-oriented (feature-flagged so each
+    optimisation can be measured in isolation; the shipped defaults are
+    the measured-best combination):
+
+    - ``nomax``: stage-1 softmax without the max-subtraction pass —
+      ``exp2(min(logits * scale * log2e, 110))`` (post-LN logits are far
+      below the 2^110 overflow guard); the normalising division moves
+      from the [BQ, N] weight matrix to the [BQ, hd] PV output, and
+      padded key columns need no mask pass (padded k/v rows are zero, so
+      each pad column contributes exactly exp2(0)=1 to the sum and
+      nothing to PV — the sum is corrected by the constant pad count).
+    - ``inline_diag``: the diagonal (own-frame) aggregate is collected
+      while frames stream (a masked select only on the frames that
+      intersect the query block) instead of an F-pass selection loop in
+      stage 2.
+    - ``stage2_bf16``: stage-2 trajectory logits multiply in bf16 and
+      accumulate in f32 — the same numerics as the XLA path's bf16
+      einsum with f32 ``preferred_element_type``.
+
+    Grid (b, q_block, frame); frame innermost. q_ref: [1, BQ, C];
+    k_ref/v_ref: [1, 1, N_pad, C]; scratch xs_ref: [F, BQ, C],
+    diag_ref: [BQ, C].
     """
     C = q_ref.shape[-1]
     hd = C // h
     n_pad = k_ref.shape[2]
     qi = pl.program_id(1)
     fi = pl.program_id(2)
+    c = scale * _LOG2E
+    pad_count = float(n_pad - n_valid)
+
+    tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    fq = tok // n_valid  # each query's own frame
+    # frame fi covers tokens [fi*n, (fi+1)*n); skip the diag update when
+    # it cannot intersect this query block
+    intersects = jnp.logical_and(
+        fi * n_valid < qi * bq + bq, (fi + 1) * n_valid > qi * bq
+    )
 
     # ---- stage 1 for this frame, all heads ----
     for hi in range(h):
         sl = slice(hi * hd, (hi + 1) * hd)
-        q_h = q_ref[0, :, sl].astype(jnp.float32)
-        k_fh = k_ref[0, 0, :, sl].astype(jnp.float32)
         logits = jax.lax.dot_general(
-            q_h, k_fh, (((1,), (1,)), ((), ())),
+            q_ref[0, :, sl], k_ref[0, 0, :, sl],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [BQ, N_pad]
-        if n_valid < n_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < n_valid, logits, -jnp.inf)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        v_fh = v_ref[0, 0, :, sl]
-        xs_ref[fi, :, sl] = jax.lax.dot_general(
-            p.astype(v_fh.dtype), v_fh,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).astype(xs_ref.dtype)
+        )  # [BQ, N_pad]
+        if nomax:
+            p = jnp.exp2(jnp.minimum(logits * c, 110.0))
+            s = jnp.sum(p, axis=-1, keepdims=True) - pad_count
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ob = (o / s).astype(xs_ref.dtype)
+        else:
+            logits = logits * scale
+            if n_valid < n_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                logits = jnp.where(col < n_valid, logits, -jnp.inf)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ob = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, 0, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xs_ref.dtype)
+        xs_ref[fi, :, sl] = ob
+
+        if inline_diag:
+            @pl.when(intersects)
+            def _collect_diag(ob=ob, sl=sl):
+                diag_ref[:, sl] = jnp.where(fq == fi, ob, diag_ref[:, sl])
 
     # ---- stage 2 on the final frame step ----
     @pl.when(fi == f - 1)
     def _stage2():
-        tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
-        fq = tok // n_valid  # each query's own frame
-        # accumulate the diagonal selection in the storage dtype (bf16);
-        # the selection is exact (no arithmetic mixes rows)
-        x_diag = jnp.zeros((bq, C), xs_ref.dtype)
-        for f2 in range(f):
-            x_diag = x_diag + jnp.where(
-                fq == f2, xs_ref[f2], jnp.zeros((), xs_ref.dtype)
-            )
+        if inline_diag:
+            x_diag = diag_ref[...]
+        else:
+            x_diag = jnp.zeros((bq, C), xs_ref.dtype)
+            for f2 in range(f):
+                x_diag = x_diag + jnp.where(
+                    fq == f2, xs_ref[f2], jnp.zeros((), xs_ref.dtype)
+                )
         q2 = jax.lax.dot_general(
             x_diag, wq2_ref[...].astype(xs_ref.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ) + bq2_ref[0].astype(jnp.float32)
+        # fold the attention scale in once; bk2 is constant over frames
+        # and cancels in the stage-2 softmax
+        q2 = q2 * scale
         wk2 = wk2_ref[...]
-        # bk2_ref is unused: the k2 bias is constant over frames and
-        # cancels in the stage-2 softmax
-
-        # Reassociated stage-2 logits: l2[q,f,h] = q2_h[q] . (xs[f,q] @
-        # Wk2[:,h]) = (q2_h[q] @ Wk2[:,h]^T) . xs[f,q]. Projecting q2
-        # through Wk2^T costs BQ*C^2 once instead of F*BQ*C^2 for
-        # projecting the F-times-larger xs (the round-1 kernel's dominant
-        # FLOPs, BENCH_NOTES queue #1).
         outs = []
         for hi in range(h):
             sl = slice(hi * hd, (hi + 1) * hd)
-            # g_h[q, :] = q2_h[q] @ Wk2[:, sl]^T  -> [BQ, C]
+            # reassociated stage-2 logits (BENCH_NOTES queue #1):
+            # g_h[q, :] = q2_h[q] @ Wk2[:, sl]^T
             g_h = jax.lax.dot_general(
-                q2[:, sl].astype(xs_ref.dtype),
-                wk2[:, sl],
+                q2[:, sl].astype(xs_ref.dtype), wk2[:, sl],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            cols = []
-            for f2 in range(f):
-                cols.append(
+            if stage2_bf16:
+                g_h = g_h.astype(xs_ref.dtype)
+                cols = [
+                    jnp.sum(
+                        (g_h * xs_ref[f2]).astype(jnp.float32),
+                        axis=-1, keepdims=True,
+                    )
+                    for f2 in range(f)
+                ]
+            else:
+                cols = [
                     jnp.sum(
                         g_h * xs_ref[f2].astype(jnp.float32),
                         axis=-1, keepdims=True,
-                    ) * scale
-                )
-            l2 = jnp.concatenate(cols, axis=-1)  # [BQ, F]
+                    )
+                    for f2 in range(f)
+                ]
+            l2 = jnp.concatenate(cols, axis=-1)  # [BQ, F] (scale folded)
             m2 = jnp.max(l2, axis=-1, keepdims=True)
             a2 = jnp.exp(l2 - m2)
             a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
@@ -125,8 +174,14 @@ def _fused_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+# measured-best flag combination (see BENCH_NOTES.md kernel study);
+# overridable for A/B profiling via scripts/profile_kernel_variants.py
+KERNEL_FLAGS = dict(nomax=True, inline_diag=True, stage2_bf16=True)
+
+
 def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-                      block_q: int = 256, interpret: bool = False):
+                      block_q: int = 256, interpret: bool = False,
+                      flags=None):
     """q: [B, S, C]; kf/vf: [B, F, N, C] -> out [B, S, C]."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -147,7 +202,8 @@ def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
     grid = (B, s_pad // bq, F)
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, scale=scale, n_valid=N, f=F, h=heads, bq=bq
+            _fused_kernel_v3, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
+            **(flags or KERNEL_FLAGS),
         ),
         grid=grid,
         in_specs=[
@@ -161,7 +217,10 @@ def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
         ],
         out_specs=pl.BlockSpec((1, bq, C), lambda b, i, fi: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
-        scratch_shapes=[pltpu.VMEM((F, bq, C), q.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((F, bq, C), q.dtype),
+            pltpu.VMEM((bq, C), q.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             # the standalone (eagerly-executed) call compiles with extra

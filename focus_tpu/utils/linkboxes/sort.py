@@ -87,11 +87,16 @@ class KalmanBoxTracker:
 
     count = 0
 
-    def __init__(self, bbox):
+    def __init__(self, bbox, id=None):
         self.kf = _Kalman(convert_bbox_to_z(bbox))
         self.time_since_update = 0
-        self.id = KalmanBoxTracker.count
-        KalmanBoxTracker.count += 1
+        if id is None:
+            self.id = KalmanBoxTracker.count
+            KalmanBoxTracker.count += 1
+        else:
+            # explicit id (reference sort.py:204-249 trackers_count_start:
+            # offline link generation reserves low ids for pinned slots)
+            self.id = id
         self.hits = 0
         self.hit_streak = 0
         self.age = 0
@@ -142,12 +147,14 @@ class Sort:
     """(reference sort.py:203-262)"""
 
     def __init__(self, max_age=1, min_hits=3, iou_threshold=0.3,
-                 clear_dups_threshold=-1):
+                 clear_dups_threshold=-1, trackers_count_start=0):
         self.max_age = max_age
         self.min_hits = min_hits
         self.iou_threshold = iou_threshold
         self.trackers: list[KalmanBoxTracker] = []
         self.frame_count = 0
+        # ids handed to new tracks count up from here (pinned slots below)
+        self.trackers_count = trackers_count_start
 
     def update(self, dets=np.empty((0, 5))):
         """dets: [N, 5] xyxy+score. Returns [M, 5] xyxy+track_id."""
@@ -168,7 +175,10 @@ class Sort:
         for m in matched:
             self.trackers[m[1]].update(dets[m[0], :4])
         for i in unmatched_dets:
-            self.trackers.append(KalmanBoxTracker(dets[i, :4]))
+            self.trackers.append(
+                KalmanBoxTracker(dets[i, :4], id=self.trackers_count)
+            )
+            self.trackers_count += 1
         ret = []
         for trk in reversed(self.trackers):
             d = trk.get_state()

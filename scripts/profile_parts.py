@@ -1,0 +1,131 @@
+"""Attribute flagship-block time by chaining each part N times in ONE jit
+program (per-dispatch overhead on the axon relay is ~3 ms and identical
+repeated calls can be memoised, so we chain data-dependent calls inside a
+single program and divide).
+
+Usage: python scripts/profile_parts.py [part ...]
+Parts: kernel qkv proj mlp ln block orvit_extra
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+B, h, S, F, C = 8, 12, 1568, 8, 768
+hd = C // h
+scale = hd ** -0.5
+N = S // F
+CHAIN = 48
+
+
+def _timed(fn, *args, iters=8, label=""):
+    f = jax.jit(fn)
+    out = jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(f(*args))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label}: {dt / CHAIN * 1000:.3f} ms/unit  ({dt * 1000:.1f} ms "
+          f"for {CHAIN} chained)", flush=True)
+
+
+def main():
+    parts = sys.argv[1:] or ["noop", "kernel", "qkv", "proj", "mlp", "ln"]
+    rs = np.random.RandomState(0)
+    bf = jnp.bfloat16
+    x = jnp.asarray(rs.randn(B, S, C) * 0.02, bf)
+    kf = jnp.asarray(rs.randn(B, F, N, C) * 0.02, bf)
+    vf = jnp.asarray(rs.randn(B, F, N, C) * 0.02, bf)
+    w_cc = jnp.asarray(rs.randn(C, C) * 0.02, bf)
+    b_c = jnp.zeros((C,), bf)
+    w3 = jnp.asarray(rs.randn(C, 3 * C) * 0.02, bf)
+    w4 = jnp.asarray(rs.randn(C, 4 * C) * 0.02, bf)
+    w4b = jnp.asarray(rs.randn(4 * C, C) * 0.02, bf)
+
+    if "noop" in parts:
+        # dispatch-overhead floor: per-call cost of an (almost) empty
+        # program through the relay, subtract from every row below
+        def tiny(t):
+            return t[0, 0, :8] * 2.0
+
+        _timed(tiny, x, label="noop (dispatch floor, NOT /unit)")
+
+    if "kernel" in parts:
+        from focus_tpu.ops.pallas.trajectory_block import fused_trajectory_core
+
+        def chain_kernel(q, kf, vf):
+            for _ in range(CHAIN):
+                q = fused_trajectory_core(
+                    q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h
+                )
+            return q
+
+        _timed(chain_kernel, x, kf, vf, label="fused kernel")
+
+    if "qkv" in parts:
+        def chain_qkv(t):
+            for _ in range(CHAIN):
+                y = t @ w3
+                t = y[:, :, :C] + y[:, :, C:2 * C] * 0.5 + y[:, :, 2 * C:] * 0.25
+            return t
+
+        _timed(chain_qkv, x, label="qkv dense (C->3C)")
+
+    if "proj" in parts:
+        def chain_proj(t):
+            for _ in range(CHAIN):
+                t = t @ w_cc + b_c
+            return t
+
+        _timed(chain_proj, x, label="proj dense (C->C)")
+
+    if "mlp" in parts:
+        def chain_mlp(t):
+            for _ in range(CHAIN):
+                t = jax.nn.gelu(t @ w4, approximate=False) @ w4b
+            return t
+
+        _timed(chain_mlp, x, label="mlp (C->4C->C + gelu)")
+
+    if "ln" in parts:
+        def chain_ln(t):
+            for _ in range(CHAIN):
+                m = t.mean(-1, keepdims=True)
+                v = ((t - m) ** 2).mean(-1, keepdims=True)
+                t = (t - m) * jax.lax.rsqrt(v + 1e-6)
+            return t
+
+        _timed(chain_ln, x, label="layernorm")
+
+    if "block" in parts:
+        from focus_tpu.models.motionformer import ScannedTrajBlocks
+
+        mod = ScannedTrajBlocks(
+            length=CHAIN, dim=C, num_heads=h, mlp_ratio=4.0, qkv_bias=True,
+            dpr=tuple([0.0] * CHAIN), use_pallas=True, dtype=bf,
+        )
+        shapes = jax.eval_shape(
+            lambda: mod.init(jax.random.PRNGKey(0), x, None, (F, 14, 14))
+        )
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+
+        def run_block(t):
+            out, _ = mod.apply(params, t, None, (F, 14, 14))
+            return out
+
+        _timed(run_block, x, label="full traj block (scan x12)")
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,118 @@ def test_kinetics_with_synthetic_video(tmp_path):
     video, label, idx, meta = ds[0]
     assert video.shape == (4, 32, 32, 3)
     assert label == 3
+
+
+def _write_indexed_video(path, n_frames, size=32, fps=30):
+    """Each frame is a solid gray level encoding its index (survives the
+    lossy mp4 round trip to within a few levels)."""
+    import cv2
+
+    w = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (size, size)
+    )
+    for i in range(n_frames):
+        level = 20 + (i * 2) % 200
+        w.write(np.full((size, size, 3), level, np.uint8))
+    w.release()
+
+
+def test_selective_decode_matches_whole_decode(tmp_path):
+    pytest.importorskip("cv2")
+    from focus_tpu.datasets import decoder
+
+    path = str(tmp_path / "long.mp4")
+    _write_indexed_video(path, 240)
+
+    for clip_idx in range(3):
+        sel = decoder.decode(
+            path, sampling_rate=2, num_frames=8, clip_idx=clip_idx,
+            num_clips=10, selective=True,
+        )
+        whole = decoder.decode(
+            path, sampling_rate=2, num_frames=8, clip_idx=clip_idx,
+            num_clips=10, selective=False,
+        )
+        assert sel.shape == whole.shape == (8, 32, 32, 3)
+        # identical frame selection (codec noise aside, the frames are the
+        # same decoded pixels so they match exactly)
+        np.testing.assert_array_equal(sel, whole)
+
+
+def test_selective_decode_reads_only_the_window(tmp_path):
+    pytest.importorskip("cv2")
+    from focus_tpu.datasets import decoder
+
+    path = str(tmp_path / "long2.mp4")
+    _write_indexed_video(path, 240)
+
+    meta = decoder.probe_video_cv2(path)
+    assert meta is not None and meta[0] == 240
+
+    win = decoder.decode_window_cv2(path, 100, 131)
+    assert win.shape == (32, 32, 32, 3)
+    # frame 100 encodes gray level 20 + 200 % 200 = 20; frame 131 -> 20+62
+    assert abs(int(win[0, 0, 0, 0]) - (20 + (100 * 2) % 200)) < 8
+    assert abs(int(win[-1, 0, 0, 0]) - (20 + (131 * 2) % 200)) < 8
+
+
+def test_selective_decode_train_mode_window(tmp_path):
+    pytest.importorskip("cv2")
+    from focus_tpu.datasets import decoder
+
+    path = str(tmp_path / "long3.mp4")
+    _write_indexed_video(path, 240)
+    rng = np.random.RandomState(7)
+    out = decoder.decode(
+        path, sampling_rate=4, num_frames=8, clip_idx=-1, rng=rng,
+    )
+    assert out.shape == (8, 32, 32, 3)
+
+
+def test_kinetics_aug_recipe_path(tmp_path):
+    """AUG.ENABLE: RandAugment + relative-scale (motion-shift) crop +
+    RandomErasing + repeated aug (reference kinetics.py:286-409)."""
+    pytest.importorskip("cv2")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic_data import make_kinetics_tree
+
+    root = str(tmp_path / "k400aug")
+    make_kinetics_tree(root, num_videos=2, num_frames=40, size=48)
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = root
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [48, 56]
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE = [0.2, 1.0]
+    cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE = [0.75, 1.3333]
+    cfg.DATA.TRAIN_JITTER_MOTION_SHIFT = True
+    cfg.MODEL.ARCH = "slow"
+    cfg.AUG.ENABLE = True
+    cfg.AUG.AA_TYPE = "rand-m7-n2"
+    cfg.AUG.RE_PROB = 0.5
+    cfg.AUG.NUM_SAMPLE = 2
+    from focus_tpu.datasets.build import build_dataset
+
+    ds = build_dataset("kinetics", cfg, "train")
+    video, label, idx, meta = ds[0]
+    # repeated aug comes back stacked on a leading axis
+    assert video.shape == (2, 4, 32, 32, 3)
+    assert label.shape == (2,) and idx.shape == (2,)
+    assert np.isfinite(video).all()
+    # the two views differ (independent aug draws)
+    assert not np.allclose(video[0], video[1])
+
+    # loader flattens the repeated axis into the batch
+    from focus_tpu.datasets.loader import construct_loader
+
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.DATA_LOADER.NUM_WORKERS = 1
+    loader = construct_loader(cfg, "train")
+    batch = next(iter(loader))
+    assert batch[0].shape == (4, 4, 32, 32, 3)
+    assert batch[1].shape == (4,)
