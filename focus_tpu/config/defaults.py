@@ -505,6 +505,12 @@ _DEFAULTS = {
         "PREFETCH": 2,
         # use Pallas kernels for hot ops when running on TPU.
         "USE_PALLAS": True,
+        # tanh-approximate gelu in MLPs (MXU-adjacent VPU saver; ~1e-4
+        # output delta vs the exact erf gelu the reference uses)
+        "FAST_GELU": False,
+        # rematerialise scanned trajectory blocks in training (saves the
+        # O(S^2 F) attention residuals; backward recomputes)
+        "REMAT": False,
         # run consecutive identical transformer blocks as one lax.scan with
         # stacked params (constant compile size/time in depth).
         "SCAN_LAYERS": True,

@@ -66,6 +66,12 @@ def draw_predictions(frame, labels_scores, class_names):
 
 def demo(cfg):
     """(reference demo_net.py:96-119)"""
+    if cfg.DETECTION.ENABLE and cfg.DEMO.PREDS_BOXES != "":
+        # AVA-style detection demo over precomputed person boxes
+        # (reference demo_net.py:104-107)
+        from focus_tpu.engine.ava_demo import run_ava_demo
+
+        return run_ava_demo(cfg)
     import cv2
     import jax
     import jax.numpy as jnp

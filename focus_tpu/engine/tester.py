@@ -142,6 +142,14 @@ def test(cfg):
         cfg.DATA.ENSEMBLE_METHOD,
     )
     stats = perform_test(test_loader, state, eval_step, test_meter, cfg)
+    if jax.process_index() == 0 and cfg.TENSORBOARD.ENABLE:
+        # eval panels over the ensembled per-video scores (reference
+        # test_net.py:139-151)
+        from focus_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
+        writer.plot_eval(test_meter.video_preds, test_meter.video_labels)
+        writer.close()
     return stats
 
 

@@ -214,7 +214,7 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
 
 
 def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
-                base_rng):
+                base_rng, writer=None):
     data_size = len(train_loader)
     train_meter.iter_tic()
     for cur_iter, batch in enumerate(train_loader):
@@ -231,6 +231,23 @@ def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
                 host.get("top1_err"), host.get("top5_err"), host["loss"], lr,
                 mb,
             )
+            if writer is not None:
+                # (reference train_net.py:262-274)
+                writer.add_scalars(
+                    {
+                        "Train/loss": host["loss"],
+                        "Train/lr": lr,
+                        **(
+                            {
+                                "Train/Top1_err": host["top1_err"],
+                                "Train/Top5_err": host["top5_err"],
+                            }
+                            if host.get("top1_err") is not None
+                            else {}
+                        ),
+                    },
+                    global_step=data_size * cur_epoch + cur_iter,
+                )
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
         train_meter.iter_tic()
@@ -270,7 +287,7 @@ def _eval_epoch_detection(val_loader, state, eval_step, val_meter, cur_epoch,
     val_meter.finalize_metrics()
 
 
-def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
+def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, writer=None):
     from focus_tpu.utils import metrics
     from focus_tpu.utils.meters import AVAMeter, EPICValMeter
 
@@ -279,7 +296,7 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
             val_loader, state, eval_step, val_meter, cur_epoch, cfg
         )
     is_ek = isinstance(val_meter, EPICValMeter)
-    val_meter.reset()
+    val_meter.reset()  # noqa: E305
     for cur_iter, batch in enumerate(val_loader):
         video, labels, metadata = _split_batch(batch)
         # the loader pads the final batch with duplicates (index -1) to
@@ -320,6 +337,12 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg):
             val_meter.update_predictions(logits_h, labels_h)
         val_meter.log_iter_stats(cur_epoch, cur_iter)
     val_meter.log_epoch_stats(cur_epoch)
+    if writer is not None and getattr(val_meter, "all_preds", None):
+        # confusion-matrix / histogram panels (reference
+        # train_net.py:476-492, tensorboard_vis.py:106-172)
+        all_preds = np.concatenate(val_meter.all_preds, axis=0)
+        all_labels = np.concatenate(val_meter.all_labels, axis=0)
+        writer.plot_eval(all_preds, all_labels, global_step=cur_epoch)
 
 
 def train(cfg):
@@ -388,7 +411,7 @@ def train(cfg):
         epoch_timer.epoch_tic()
         state = train_epoch(
             train_loader, state, train_step, train_meter, cur_epoch, cfg,
-            base_rng,
+            base_rng, writer=writer,
         )
         epoch_timer.epoch_toc()
         logger.info(
@@ -410,7 +433,8 @@ def train(cfg):
         if is_checkp:
             cu.save_checkpoint(ckpt_dir, state, cur_epoch + 1, cfg)
         if is_eval:
-            eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg)
+            eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch,
+                       cfg, writer=writer)
 
     if writer is not None:
         writer.close()

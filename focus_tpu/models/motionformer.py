@@ -22,6 +22,11 @@ from focus_tpu.ops import attention as attn_ops
 
 trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
+# process-wide gelu selector, set from cfg.TPU.FAST_GELU by build_model:
+# the tanh approximation trades ~1e-4 absolute output delta for a much
+# cheaper VPU path than the exact erf gelu (the reference's torch GELU)
+FAST_GELU = False
+
 
 class Mlp(nn.Module):
     """ViT MLP (reference ORViT/utils.py:79-98)."""
@@ -36,7 +41,7 @@ class Mlp(nn.Module):
         out_dim = self.out_features or x.shape[-1]
         x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_02,
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=FAST_GELU)
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(self.drop, deterministic=False)(x)
         x = nn.Dense(out_dim, kernel_init=trunc_normal_02, dtype=self.dtype,
@@ -342,12 +347,22 @@ class ScannedTrajBlocks(nn.Module):
     dpr: Any = ()  # per-layer stochastic-depth rates, length == length
     use_original_code: bool = True
     use_pallas: bool = False
+    remat: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, metadata, thw, deterministic: bool = True):
+        body = _TrajBlockScanBody
+        if self.remat:
+            # save only matmul outputs across the scan; the backward
+            # recomputes the O(S^2 F) attention residuals (cfg.TPU.REMAT)
+            body = nn.remat(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                prevent_cse=False,
+            )
         scan = nn.scan(
-            _TrajBlockScanBody,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=0,
@@ -547,7 +562,9 @@ class Motionformer(nn.Module):
                         num_heads=c.MF.NUM_HEADS, mlp_ratio=c.MF.MLP_RATIO,
                         qkv_bias=c.MF.QKV_BIAS, drop=c.MF.DROP,
                         attn_drop=c.MF.ATTN_DROPOUT, dpr=tuple(dpr[i:j]),
-                        use_pallas=bool(c.TPU.USE_PALLAS), dtype=self.dtype,
+                        use_pallas=bool(c.TPU.USE_PALLAS),
+                        remat=bool(getattr(c.TPU, "REMAT", False)),
+                        dtype=self.dtype,
                         name=f"blocks_{i}_{j - 1}",
                     )
                 )

@@ -38,7 +38,8 @@ _LOG2E = 1.4426950408889634
 
 def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
                      o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq,
-                     nomax=True, inline_diag=True, stage2_bf16=True):
+                     nomax=True, inline_diag=False, stage2_bf16=False,
+                     diag_frame=False, fouter=False):
     """Fused trajectory core, VPU-oriented (feature-flagged so each
     optimisation can be measured in isolation; the shipped defaults are
     the measured-best combination):
@@ -115,10 +116,17 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
             def _collect_diag(ob=ob, sl=sl):
                 diag_ref[:, sl] = jnp.where(fq == fi, ob, diag_ref[:, sl])
 
+    if diag_frame:
+        # one whole-row masked write per intersecting frame (cheaper than
+        # per-head selects and than the F-pass loop in stage 2)
+        @pl.when(intersects)
+        def _collect_diag_frame():
+            diag_ref[...] = jnp.where(fq == fi, xs_ref[fi], diag_ref[...])
+
     # ---- stage 2 on the final frame step ----
     @pl.when(fi == f - 1)
     def _stage2():
-        if inline_diag:
+        if inline_diag or diag_frame:
             x_diag = diag_ref[...]
         else:
             x_diag = jnp.zeros((bq, C), xs_ref.dtype)
@@ -134,6 +142,41 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
         # and cancels in the stage-2 softmax
         q2 = q2 * scale
         wk2 = wk2_ref[...]
+        if fouter:
+            # f2-outer ordering: convert each frame's aggregate to f32
+            # once and reuse it across all heads (the h-outer ordering
+            # converts it h times)
+            gs = [
+                jax.lax.dot_general(
+                    q2[:, hi * hd:(hi + 1) * hd].astype(xs_ref.dtype),
+                    wk2[:, hi * hd:(hi + 1) * hd],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for hi in range(h)
+            ]
+            cols = [[None] * f for _ in range(h)]
+            for f2 in range(f):
+                xs_f = xs_ref[f2].astype(jnp.float32)
+                for hi in range(h):
+                    cols[hi][f2] = jnp.sum(
+                        gs[hi] * xs_f, axis=-1, keepdims=True
+                    )
+            outs = []
+            for hi in range(h):
+                sl = slice(hi * hd, (hi + 1) * hd)
+                l2 = jnp.concatenate(cols[hi], axis=-1)
+                m2 = jnp.max(l2, axis=-1, keepdims=True)
+                a2 = jnp.exp(l2 - m2)
+                a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
+                acc = jnp.zeros((bq, hd), jnp.float32)
+                for f2 in range(f):
+                    acc = acc + a2[:, f2:f2 + 1] * xs_ref[f2, :, sl].astype(
+                        jnp.float32
+                    )
+                outs.append(acc)
+            o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+            return
         outs = []
         for hi in range(h):
             sl = slice(hi * hd, (hi + 1) * hd)
@@ -176,7 +219,8 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 
 # measured-best flag combination (see BENCH_NOTES.md kernel study);
 # overridable for A/B profiling via scripts/profile_kernel_variants.py
-KERNEL_FLAGS = dict(nomax=True, inline_diag=True, stage2_bf16=True)
+KERNEL_FLAGS = dict(nomax=True, inline_diag=False, stage2_bf16=False,
+                    diag_frame=True, fouter=True)
 
 
 def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,

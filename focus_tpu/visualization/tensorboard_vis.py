@@ -18,8 +18,89 @@ except Exception:  # noqa: BLE001
     _HAS_TB = False
 
 
+def get_confusion_matrix(preds, labels, num_classes):
+    """Row-normalised confusion matrix from prediction scores
+    (reference visualization/utils.py get_confusion_matrix).
+
+    preds: [N, num_classes] scores; labels: [N] ints. Returns
+    [num_classes, num_classes] with rows summing to 1 (or 0)."""
+    preds = np.asarray(preds)
+    labels = np.asarray(labels).astype(int)
+    top = preds.argmax(axis=-1)
+    cmtx = np.zeros((num_classes, num_classes), np.float64)
+    np.add.at(cmtx, (labels, top), 1.0)
+    row = cmtx.sum(axis=1, keepdims=True)
+    return np.divide(cmtx, row, out=np.zeros_like(cmtx), where=row > 0)
+
+
+def plot_confusion_matrix(cmtx, class_names=None, figsize=None):
+    """Render a confusion matrix to a matplotlib figure (reference
+    visualization/utils.py plot_confusion_matrix)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = cmtx.shape[0]
+    if class_names is None:
+        class_names = [str(i) for i in range(n)]
+    fig = plt.figure(figsize=figsize or (6.4, 4.8))
+    plt.imshow(cmtx, interpolation="nearest", cmap=plt.cm.Blues)
+    plt.title("Confusion matrix")
+    plt.colorbar()
+    marks = np.arange(n)
+    plt.xticks(marks, class_names, rotation=45, fontsize=6)
+    plt.yticks(marks, class_names, fontsize=6)
+    thresh = cmtx.max() / 2.0 if cmtx.size else 0.5
+    if n <= 32:  # annotate only when readable
+        for i in range(n):
+            for j in range(n):
+                plt.text(
+                    j, i, f"{cmtx[i, j]:.2f}", fontsize=5,
+                    horizontalalignment="center",
+                    color="white" if cmtx[i, j] > thresh else "black",
+                )
+    plt.ylabel("True label")
+    plt.xlabel("Predicted label")
+    plt.tight_layout()
+    return fig
+
+
+def plot_topk_histogram(class_name, counts, k, class_names, figsize=None):
+    """Histogram of the top-k most-predicted classes for one true class
+    (reference visualization/utils.py plot_topk_histogram)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    counts = np.asarray(counts)
+    k = min(k, len(counts))
+    top_idx = np.argsort(-counts)[:k]
+    fig = plt.figure(figsize=figsize or (6.4, 4.8))
+    plt.bar(range(k), counts[top_idx], color="royalblue")
+    plt.xticks(
+        range(k), [str(class_names[i]) for i in top_idx],
+        rotation=45, fontsize=7,
+    )
+    plt.title(f"Top-{k} predictions for true class {class_name}")
+    plt.ylabel("frequency")
+    plt.tight_layout()
+    return fig
+
+
+def _load_json_list(path):
+    if not path:
+        return None
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
 class TensorboardWriter:
     def __init__(self, cfg):
+        self.cfg = cfg
         self.enabled = _HAS_TB and cfg.TENSORBOARD.ENABLE
         if not self.enabled:
             self.writer = None
@@ -31,6 +112,12 @@ class TensorboardWriter:
         else:
             log_dir = os.path.join(cfg.OUTPUT_DIR, cfg.TENSORBOARD.LOG_DIR)
         self.writer = SummaryWriter(log_dir=log_dir)
+        # class-name / subset metadata for eval plots (reference
+        # tensorboard_vis.py:40-76)
+        tb = cfg.TENSORBOARD
+        self.class_names = _load_json_list(tb.CLASS_NAMES_PATH)
+        self.cm_subset = _load_json_list(tb.CONFUSION_MATRIX.SUBSET_PATH)
+        self.hist_subset = _load_json_list(tb.HISTOGRAM.SUBSET_PATH)
         logger.info(f"Tensorboard visualization at {log_dir}")
 
     def add_scalars(self, data_dict, global_step=None):
@@ -48,6 +135,67 @@ class TensorboardWriter:
         self.writer.add_video(
             tag, torch.from_numpy(np.asarray(vid_tensor)), global_step=global_step, fps=fps
         )
+
+    def plot_eval(self, preds, labels, global_step=None):
+        """Confusion-matrix and top-k histogram panels for an eval pass
+        (reference tensorboard_vis.py:106-172)."""
+        if self.writer is None or self.cfg.DETECTION.ENABLE:
+            return
+        tb = self.cfg.TENSORBOARD
+        if not (tb.CONFUSION_MATRIX.ENABLE or tb.HISTOGRAM.ENABLE):
+            return
+        num_classes = self.cfg.MODEL.NUM_CLASSES
+        cmtx = get_confusion_matrix(preds, labels, num_classes)
+        names = self.class_names or [str(i) for i in range(num_classes)]
+        if tb.CONFUSION_MATRIX.ENABLE:
+            fig = plot_confusion_matrix(
+                cmtx, names, figsize=tb.CONFUSION_MATRIX.FIGSIZE
+            )
+            self.writer.add_figure("Confusion Matrix", fig, global_step)
+            if self.cm_subset:
+                sub = cmtx[self.cm_subset][:, self.cm_subset]
+                fig = plot_confusion_matrix(
+                    sub, [names[j] for j in self.cm_subset],
+                    figsize=tb.CONFUSION_MATRIX.FIGSIZE,
+                )
+                self.writer.add_figure(
+                    "Confusion Matrix Subset", fig, global_step
+                )
+        if tb.HISTOGRAM.ENABLE:
+            ids = self.hist_subset or range(num_classes)
+            for i in ids:
+                fig = plot_topk_histogram(
+                    names[i], cmtx[i], tb.HISTOGRAM.TOPK, names,
+                    figsize=tb.HISTOGRAM.FIGSIZE,
+                )
+                self.writer.add_figure(
+                    f"Top {tb.HISTOGRAM.TOPK} predictions by classes/"
+                    f"{names[i]}",
+                    fig, global_step,
+                )
+
+    def plot_weights_and_activations(self, tensors_dict, tag="",
+                                     normalize=False, global_step=None,
+                                     heat_map=True):
+        """Log weight/activation arrays as images/histograms (reference
+        tensorboard_vis.py:174-213)."""
+        if self.writer is None:
+            return
+        import torch
+
+        for name, array in tensors_dict.items():
+            arr = np.asarray(array, np.float32)
+            self.writer.add_histogram(tag + name, torch.from_numpy(arr),
+                                      global_step)
+            if heat_map and arr.ndim >= 2:
+                img = arr.reshape(-1, arr.shape[-1])[:512]
+                lo, hi = img.min(), img.max()
+                if normalize or hi > 1.0 or lo < 0.0:
+                    img = (img - lo) / (hi - lo + 1e-8)
+                self.writer.add_image(
+                    tag + name + "/heatmap",
+                    torch.from_numpy(img[None]), global_step,
+                )
 
     def flush(self):
         if self.writer is not None:

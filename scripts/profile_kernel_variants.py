@@ -37,12 +37,10 @@ def main():
     b_c = jnp.zeros((C,), bf)
 
     combos = [
-        dict(nomax=False, inline_diag=False, stage2_bf16=False),  # v2
-        dict(nomax=True, inline_diag=False, stage2_bf16=False),
-        dict(nomax=False, inline_diag=True, stage2_bf16=False),
-        dict(nomax=False, inline_diag=False, stage2_bf16=True),
-        dict(nomax=True, inline_diag=True, stage2_bf16=False),
-        dict(nomax=True, inline_diag=True, stage2_bf16=True),     # v3
+        dict(nomax=True),
+        dict(nomax=True, diag_frame=True),
+        dict(nomax=True, fouter=True),
+        dict(nomax=True, diag_frame=True, fouter=True),
     ]
     for bq in bqs:
         for flags in combos:
@@ -61,10 +59,7 @@ def main():
             for _ in range(iters):
                 out = jax.block_until_ready(f(x, kf, vf))
             dt = (time.perf_counter() - t0) / iters / CHAIN * 1000
-            tag = "".join(
-                k[0].upper() if v else k[0] for k, v in flags.items()
-            )
-            print(f"bq={bq} {tag} {flags}: {dt:.3f} ms/call", flush=True)
+            print(f"bq={bq} {flags}: {dt:.3f} ms/call", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,138 @@
+"""Visualization-tail tests: confusion matrix/histograms, prediction
+drawing, AVA precomputed-box demo parsing/drawing."""
+
+import numpy as np
+import pytest
+
+
+def test_get_confusion_matrix_rows_normalised():
+    from focus_tpu.visualization.tensorboard_vis import get_confusion_matrix
+
+    preds = np.array([
+        [0.9, 0.1, 0.0],   # true 0 -> pred 0
+        [0.2, 0.7, 0.1],   # true 0 -> pred 1
+        [0.1, 0.1, 0.8],   # true 2 -> pred 2
+    ])
+    labels = np.array([0, 0, 2])
+    cm = get_confusion_matrix(preds, labels, 3)
+    np.testing.assert_allclose(cm[0], [0.5, 0.5, 0.0])
+    np.testing.assert_allclose(cm[1], [0.0, 0.0, 0.0])  # no samples
+    np.testing.assert_allclose(cm[2], [0.0, 0.0, 1.0])
+
+
+def test_plot_figures_render():
+    pytest.importorskip("matplotlib")
+    from focus_tpu.visualization.tensorboard_vis import (
+        plot_confusion_matrix,
+        plot_topk_histogram,
+    )
+
+    cm = np.random.RandomState(0).rand(5, 5)
+    fig = plot_confusion_matrix(cm, [f"c{i}" for i in range(5)])
+    assert fig is not None
+    fig2 = plot_topk_histogram("c0", cm[0], 3, [f"c{i}" for i in range(5)])
+    assert fig2 is not None
+
+
+def test_writer_plot_eval_writes_events(tmp_path):
+    pytest.importorskip("torch.utils.tensorboard")
+    from focus_tpu.config import get_cfg
+    from focus_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.ENABLE = True
+    cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE = True
+    cfg.TENSORBOARD.HISTOGRAM.ENABLE = True
+    cfg.MODEL.NUM_CLASSES = 4
+    writer = TensorboardWriter(cfg)
+    rs = np.random.RandomState(0)
+    writer.add_scalars({"Train/loss": 1.0}, global_step=0)
+    writer.plot_eval(rs.rand(20, 4), rs.randint(0, 4, 20), global_step=1)
+    writer.plot_weights_and_activations({"w": rs.rand(8, 16)}, tag="t/")
+    writer.close()
+    import glob
+    import os
+
+    events = glob.glob(os.path.join(str(tmp_path), "runs-*", "events.*"))
+    assert events, "no tensorboard event files written"
+    assert os.path.getsize(events[0]) > 1000  # figures actually logged
+
+
+def test_video_visualizer_modes(tmp_path):
+    pytest.importorskip("cv2")
+    import json
+
+    from focus_tpu.visualization.video_visualizer import VideoVisualizer
+
+    names = {f"action_{i}": i for i in range(5)}
+    path = tmp_path / "names.json"
+    path.write_text(json.dumps(names))
+
+    vis = VideoVisualizer(5, str(path), top_k=2, mode="top-k")
+    frame = np.zeros((64, 80, 3), np.uint8)
+    scores = np.array([[0.9, 0.05, 0.0, 0.0, 0.05]])
+    boxes = np.array([[10.0, 10.0, 60.0, 50.0]])
+    out = vis.draw_one_frame(frame, scores, boxes)
+    assert out.shape == frame.shape
+    assert out.sum() > 0  # something was drawn
+
+    # thres mode with common-class split
+    vis2 = VideoVisualizer(
+        5, str(path), thres=0.7, lower_thres=0.2,
+        common_class_names=["action_0"], mode="thres",
+    )
+    ids, sc = vis2._pick(np.array([0.75, 0.3, 0.1, 0.25, 0.05]))
+    assert set(ids) == {0, 1, 3}  # 0 passes 0.7; 1,3 pass lower 0.2
+
+    # clip-range drawing + slow-mo repeat
+    frames = np.zeros((8, 32, 32, 3), np.uint8)
+    outs = vis.draw_clip_range(
+        frames, scores[0], draw_range=[4, 5], repeat_frame=2
+    )
+    assert len(outs) == 10  # 6 plain + 2 drawn x2
+
+
+def test_ava_demo_load_boxes_and_draw(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from focus_tpu.config import get_cfg
+    from focus_tpu.engine.ava_demo import (
+        AVAVisualizerWithPrecomputedBox,
+        load_boxes_labels,
+    )
+
+    # synthetic 3-second video at 30 fps
+    vid = str(tmp_path / "vidZ.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    for _ in range(90):
+        w.write(np.full((64, 64, 3), 128, np.uint8))
+    w.release()
+
+    csv = tmp_path / "boxes.csv"
+    csv.write_text(
+        "vidZ,901,0.1,0.1,0.6,0.6,2,0.9\n"
+        "vidZ,901,0.1,0.1,0.6,0.6,3,0.8\n"
+    )
+
+    cfg = get_cfg()
+    cfg.DEMO.INPUT_VIDEO = vid
+    cfg.DEMO.PREDS_BOXES = str(csv)
+    cfg.DEMO.STARTING_SECOND = 900
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out.mp4")
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+
+    preds, gt = load_boxes_labels(cfg, "vidZ", 30, 64, 64)
+    assert gt is None
+    assert 30 in preds  # (901-900)*30
+    boxes, labels = preds[30]
+    assert len(boxes) == 1 and labels[0] == [2, 3]  # same box deduped
+
+    # draw path with fake predictions (skip the model)
+    demo = AVAVisualizerWithPrecomputedBox(cfg)
+    demo.pred_boxes[30][1] = np.array([[0.1, 0.1, 0.7, 0.05, 0.05]])
+    demo.draw_video()
+    import os
+
+    assert os.path.getsize(cfg.DEMO.OUTPUT_FILE) > 1000
