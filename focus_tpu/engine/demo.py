@@ -88,6 +88,19 @@ def demo(cfg):
         with open(cfg.DEMO.LABEL_FILE_PATH) as f:
             class_names = {str(v): k for k, v in json.load(f).items()}
 
+    # visualization-grade overlay (colormap class colors, score labels)
+    from focus_tpu.visualization.video_visualizer import VideoVisualizer
+
+    video_vis = VideoVisualizer(
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        class_names_path=cfg.DEMO.LABEL_FILE_PATH,
+        top_k=max(cfg.TENSORBOARD.MODEL_VIS.TOPK_PREDS, 3),
+        thres=cfg.DEMO.COMMON_CLASS_THRES,
+        lower_thres=cfg.DEMO.UNCOMMON_CLASS_THRES,
+        colormap=cfg.TENSORBOARD.MODEL_VIS.COLORMAP,
+        mode="top-k",
+    )
+
     mesh = mesh_lib.build_mesh(cfg)
     model = build_model(cfg)
     seq_len = cfg.DATA.NUM_FRAMES * cfg.DATA.SAMPLING_RATE
@@ -106,7 +119,7 @@ def demo(cfg):
     state = None
     predict = None
     buffer: deque = deque(maxlen=seq_len)
-    latest = []
+    latest = None
     for i, frame in enumerate(reader):
         rgb = frame[:, :, ::-1]
         buffer.append(cv2.resize(rgb, (crop, crop)))
@@ -135,9 +148,13 @@ def demo(cfg):
                     return model.apply(variables, x, {})
 
             probs = np.asarray(jax.device_get(predict(state, jnp.asarray(inputs))))
-            top = np.argsort(-probs[0])[:3]
-            latest = [(int(t), float(probs[0][t])) for t in top]
-        out_frame = draw_predictions(frame.copy(), latest, class_names)
+            latest = probs[0]
+        if latest is not None and len(np.shape(latest)):
+            out_frame = np.ascontiguousarray(
+                video_vis.draw_one_frame(frame[:, :, ::-1], latest)[:, :, ::-1]
+            )
+        else:
+            out_frame = frame
         if writer is not None:
             writer.write(out_frame)
     reader.release()

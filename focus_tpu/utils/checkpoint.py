@@ -122,6 +122,15 @@ def load_train_checkpoint(cfg, state_template):
         return state, epoch
     if cfg.TRAIN.CHECKPOINT_FILE_PATH:
         path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+        if cfg.TRAIN.CHECKPOINT_TYPE == "caffe2":
+            from focus_tpu.utils import torch_import
+            from focus_tpu.utils.c2_import import load_c2_state_dict
+
+            state = torch_import.load_into_state(
+                path, state_template, cfg,
+                state_dict=load_c2_state_dict(path),
+            )
+            return state, 0
         if path.endswith((".pt", ".pt.tar", ".pyth")) and _is_torch_pickle(path):
             from focus_tpu.utils import torch_import
 
@@ -149,6 +158,13 @@ def load_test_checkpoint(cfg, state_template):
     else:
         logger.info("Testing with random initialization. Only for debugging.")
         return state_template
+    if cfg.TEST.CHECKPOINT_TYPE == "caffe2":
+        from focus_tpu.utils import torch_import
+        from focus_tpu.utils.c2_import import load_c2_state_dict
+
+        return torch_import.load_into_state(
+            path, state_template, cfg, state_dict=load_c2_state_dict(path)
+        )
     if _is_torch_pickle(path):
         from focus_tpu.utils import torch_import
 

@@ -290,9 +290,12 @@ def _copy_backbone_attn_to_orvit(sd, params) -> Dict[str, np.ndarray]:
     return out
 
 
-def load_into_state(path: str, state_template, cfg):
-    """Load a torch checkpoint into a TrainState (params only)."""
-    sd = load_torch_state_dict(path)
+def load_into_state(path: str, state_template, cfg, state_dict=None):
+    """Load a torch checkpoint into a TrainState (params only).
+
+    ``state_dict`` overrides file loading (e.g. Caffe2 blobs renamed by
+    focus_tpu.utils.c2_import)."""
+    sd = state_dict if state_dict is not None else load_torch_state_dict(path)
     sd = apply_name_patterns(
         sd,
         clear_patterns=tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN or ()),

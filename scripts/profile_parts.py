@@ -96,6 +96,49 @@ def main():
 
         _timed(chain_mlp, x, label="mlp (C->4C->C + gelu)")
 
+    if "mlp_fast" in parts:
+        def chain_mlp_fast(t):
+            for _ in range(CHAIN):
+                t = jax.nn.gelu(t @ w4, approximate=True) @ w4b
+            return t
+
+        _timed(chain_mlp_fast, x, label="mlp tanh-gelu")
+
+    if "orvit" in parts:
+        from focus_tpu.config import get_cfg
+        from focus_tpu.models.build import build_model
+        from focus_tpu.models.orvit import ORViTBlock
+        from focus_tpu.config.node import StaticCfg
+
+        cfg = get_cfg()
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg.ORVIT.O = 4
+        cfg.DATA.TRAIN_CROP_SIZE = 224
+        cfg.MF.TEMPORAL_RESOLUTION = F
+        scfg = StaticCfg(cfg)
+        blk = ORViTBlock(cfg=scfg, dim=C, num_heads=h, qkv_bias=True,
+                         nb_frames=F, dtype=bf)
+        xc = jnp.concatenate([x[:, :1], x], axis=1)  # +CLS
+        boxes = jnp.asarray(rs.rand(B, F, 4, 4) * 0.5 + 0.25, bf)
+        meta = {"orvit_bboxes": boxes}
+        shapes = jax.eval_shape(
+            lambda: blk.init(jax.random.PRNGKey(0), xc, meta, (F, 14, 14))
+        )
+        params = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes
+        )
+
+        def chain_orvit(t):
+            for _ in range(max(CHAIN // 8, 3)):
+                t, _ = blk.apply(params, t, meta, (F, 14, 14))
+            return t
+
+        global CHAIN
+        old = CHAIN
+        CHAIN = max(CHAIN // 8, 3)
+        _timed(chain_orvit, xc, label="ORViT block (full)")
+        CHAIN = old
+
     if "ln" in parts:
         def chain_ln(t):
             for _ in range(CHAIN):

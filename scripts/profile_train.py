@@ -2,6 +2,8 @@
 
 Usage: python scripts/profile_train.py [variant ...]
 Variants: pallas (fused fwd + XLA-recompute bwd, the default),
+          pallas_b16 / pallas_b32 (bigger train batch),
+          fastgelu (pallas + tanh gelu),
           xla (no pallas anywhere; vjp keeps residuals),
           xla_remat (no pallas, jax.checkpoint(dots_saveable) over blocks)
 """
@@ -32,12 +34,24 @@ B = 8
 
 
 def run_variant(name):
+    global B
     cfg = ge._flagship_cfg()
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if name in ("xla", "xla_remat"):
         cfg.TPU.USE_PALLAS = False
     if name == "xla_remat":
         cfg.TPU.REMAT = True
+    if name == "fastgelu":
+        cfg.TPU.FAST_GELU = True
+    if name == "pallas_b16r":
+        B = 16
+        cfg.TPU.REMAT = True
+    elif name.endswith("_b16"):
+        B = 16
+    elif name.endswith("_b32"):
+        B = 32
+    else:
+        B = 8
     mesh = mesh_lib.build_mesh(cfg)
     model = build_model(cfg)
     rs = np.random.RandomState(0)
@@ -55,11 +69,19 @@ def run_variant(name):
     }
     state, stats = step(state, v, l, m, rng)
     jax.block_until_ready(stats["loss"])
+
+    def force(st):
+        # materialise a value that depends on the whole update chain (the
+        # relay can report not-yet-executed buffers as ready)
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return float(jax.device_get(jnp.sum(leaf.astype(jnp.float32))))
+
+    force(state)
     iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
         state, stats = step(state, v, l, m, rng)
-    jax.block_until_ready(stats["loss"])
+    force(state)
     dt = (time.perf_counter() - t0) / iters
     print(
         f"{name}: {dt * 1000:.1f} ms/step = {B / dt:.2f} clips/s (train)",

@@ -136,3 +136,34 @@ def test_ava_demo_load_boxes_and_draw(tmp_path):
     import os
 
     assert os.path.getsize(cfg.DEMO.OUTPUT_FILE) > 1000
+
+
+def test_demo_end_to_end_on_synthetic_video(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from focus_tpu.config import get_cfg
+    from focus_tpu.config.defaults import assert_and_infer_cfg
+    from focus_tpu.engine.demo import demo
+
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30, (48, 48))
+    rs = np.random.RandomState(0)
+    for _ in range(30):
+        w.write(rs.randint(0, 255, (48, 48, 3), np.uint8))
+    w.release()
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/tests/mf_synthetic.yaml")
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.ENABLE = False
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.INPUT_VIDEO = vid
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out.mp4")
+    cfg.DEMO.BUFFER_SIZE = 8
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TRAIN.CHECKPOINT_FILE_PATH = ""
+    cfg.TEST.CHECKPOINT_FILE_PATH = ""
+    cfg = assert_and_infer_cfg(cfg)
+    demo(cfg)
+    import os
+
+    assert os.path.getsize(cfg.DEMO.OUTPUT_FILE) > 1000
