@@ -511,6 +511,10 @@ _DEFAULTS = {
         # rematerialise scanned trajectory blocks in training (saves the
         # O(S^2 F) attention residuals; backward recomputes)
         "REMAT": False,
+        # jax.profiler device-trace capture (utils/profiler.py)
+        "PROFILER": False,
+        "PROFILER_START_STEP": 10,
+        "PROFILER_NUM_STEPS": 5,
         # run consecutive identical transformer blocks as one lax.scan with
         # stacked params (constant compile size/time in depth).
         "SCAN_LAYERS": True,

@@ -214,10 +214,12 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
 
 
 def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
-                base_rng, writer=None):
+                base_rng, writer=None, profiler=None):
     data_size = len(train_loader)
     train_meter.iter_tic()
     for cur_iter, batch in enumerate(train_loader):
+        if profiler is not None:
+            profiler.step(data_size * cur_epoch + cur_iter)
         video, labels, metadata = _split_batch(batch)
         train_meter.data_toc()
         state, stats = train_step(state, video, labels, metadata, base_rng)
@@ -404,6 +406,9 @@ def train(cfg):
     else:
         val_meter = ValMeter(len(val_loader), cfg)
     writer = TensorboardWriter(cfg) if jax.process_index() == 0 else None
+    from focus_tpu.utils.profiler import StepProfiler
+
+    profiler = StepProfiler(cfg)
     epoch_timer = EpochTimer()
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
@@ -411,7 +416,7 @@ def train(cfg):
         epoch_timer.epoch_tic()
         state = train_epoch(
             train_loader, state, train_step, train_meter, cur_epoch, cfg,
-            base_rng, writer=writer,
+            base_rng, writer=writer, profiler=profiler,
         )
         epoch_timer.epoch_toc()
         logger.info(
@@ -436,6 +441,7 @@ def train(cfg):
             eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch,
                        cfg, writer=writer)
 
+    profiler.stop()
     if writer is not None:
         writer.close()
     return state

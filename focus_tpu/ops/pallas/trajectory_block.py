@@ -312,8 +312,273 @@ def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
     return out, (q, kf, vf, wq2, bq2, wk2, bk2)
 
 
+
+
+def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, dwq2_ref, dbq2_ref, dwk2_ref,
+                      xs_ref, a_ref, dxs_ref, diag_ref, *,
+                      scale, n_valid, f, h, bq):
+    """Backward of the fused trajectory core, entirely in VMEM.
+
+    Grid (b, q_block), both sequential; frames loop inside the cell. The
+    stage-1 attention weights are recomputed once per cell (nomax exp2
+    form, pad columns self-neutralising: dv/dk pad rows are sliced off by
+    the wrapper, and pad-column dZ terms multiply zeroed k rows in dq)
+    and cached in a_ref for the stage-1 backward, so the [S, S]-sized
+    weight tensor never exists in HBM — the reason the XLA-recompute
+    backward was 3x slower (BENCH_NOTES round 2).
+
+    Shapes: q_ref/do_ref [1, BQ, C]; k_ref/v_ref [1, F, N_pad, C];
+    dq [1, BQ, C] f32; dk/dv [1, F, N_pad, C] f32 accumulated over
+    q-blocks; dwq2/dwk2 [C, C] f32 and dbq2 [1, C] f32 accumulated over
+    every cell. Scratch: xs [F, BQ, C] bf16, a [F, H, BQ, N_pad] bf16,
+    dxs [F, BQ, C] f32, diag [BQ, C] bf16.
+    """
+    C = q_ref.shape[-1]
+    hd = C // h
+    n_pad = k_ref.shape[2]
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    c = scale * _LOG2E
+    pad_count = float(n_pad - n_valid)
+    f32 = jnp.float32
+
+    tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    fq = tok // n_valid
+
+    @pl.when(qi == 0)
+    def _zero_kv_grads():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when(jnp.logical_and(b == 0, qi == 0))
+    def _zero_w_grads():
+        dwq2_ref[...] = jnp.zeros_like(dwq2_ref)
+        dbq2_ref[...] = jnp.zeros_like(dbq2_ref)
+        dwk2_ref[...] = jnp.zeros_like(dwk2_ref)
+
+    # ---- pass A: recompute stage-1 attention + aggregates ----
+    # padded query rows (fq >= F) are never written by the diag collect;
+    # unlike the forward (rowwise outputs, pads sliced off), the backward
+    # CONTRACTS over the query dim (dW/dk/dv), so garbage in those rows
+    # would poison real gradients — zero the scratch first
+    diag_ref[...] = jnp.zeros_like(diag_ref)
+    for fi in range(f):
+        for hi in range(h):
+            sl = slice(hi * hd, (hi + 1) * hd)
+            logits = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, fi, :, sl],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            )
+            pu = jnp.exp2(jnp.minimum(logits * c, 110.0))
+            ssum = jnp.sum(pu, axis=-1, keepdims=True) - pad_count
+            a = (pu / ssum).astype(a_ref.dtype)
+            a_ref[fi, hi] = a
+            xs_ref[fi, :, sl] = jax.lax.dot_general(
+                a, v_ref[0, fi, :, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(xs_ref.dtype)
+        inter = jnp.logical_and(
+            fi * n_valid < qi * bq + bq, (fi + 1) * n_valid > qi * bq
+        )
+
+        @pl.when(inter)
+        def _collect_diag(fi=fi):
+            diag_ref[...] = jnp.where(fq == fi, xs_ref[fi], diag_ref[...])
+
+    # ---- pass B: stage-2 forward remainder + backward ----
+    q2 = jax.lax.dot_general(
+        diag_ref[...], wq2_ref[...].astype(diag_ref.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bq2_ref[0].astype(f32)
+    q2b = q2.astype(diag_ref.dtype)
+    wk2 = wk2_ref[...]
+    dq2_parts = []
+    for fi in range(f):
+        dxs_ref[fi] = jnp.zeros((bq, C), f32)
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        g_h = jax.lax.dot_general(
+            q2b[:, sl], wk2[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [BQ, C], unscaled
+        g_hb = g_h.astype(xs_ref.dtype)
+        do_h = do_ref[0, :, sl].astype(f32)
+        l2_cols, da2_cols = [], []
+        for f2 in range(f):
+            xs_f = xs_ref[f2]
+            l2_cols.append(
+                scale * jnp.sum(
+                    (g_hb * xs_f).astype(f32), axis=-1, keepdims=True
+                )
+            )
+            da2_cols.append(
+                jnp.sum(
+                    xs_f[:, sl].astype(f32) * do_h, axis=-1, keepdims=True
+                )
+            )
+        l2 = jnp.concatenate(l2_cols, axis=-1)
+        m2 = jnp.max(l2, axis=-1, keepdims=True)
+        a2 = jnp.exp(l2 - m2)
+        a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
+        da2 = jnp.concatenate(da2_cols, axis=-1)
+        r2 = jnp.sum(a2 * da2, axis=-1, keepdims=True)
+        dl2 = a2 * (da2 - r2)  # [BQ, F]
+        dg = jnp.zeros((bq, C), f32)
+        for f2 in range(f):
+            w_val = a2[:, f2:f2 + 1]
+            w_log = scale * dl2[:, f2:f2 + 1]
+            xs_f32 = xs_ref[f2].astype(f32)
+            dxs_ref[f2, :, sl] = dxs_ref[f2, :, sl] + w_val * do_h
+            dxs_ref[f2] = dxs_ref[f2] + w_log * g_h
+            dg = dg + w_log * xs_f32
+        dgb = dg.astype(xs_ref.dtype)
+        dq2_parts.append(
+            jax.lax.dot_general(
+                dgb, wk2[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        )
+        # dWk2[:, sl] += dg^T q2_sl  (contract the query dim)
+        dwk2_ref[:, sl] += jax.lax.dot_general(
+            dgb, q2b[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    dq2 = jnp.concatenate(dq2_parts, axis=-1)
+    dbq2_ref[0, :] += jnp.sum(dq2, axis=0)
+    dq2b = dq2.astype(diag_ref.dtype)
+    dwq2_ref[...] += jax.lax.dot_general(
+        diag_ref[...], dq2b, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    dd = jax.lax.dot_general(
+        dq2b, wq2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [BQ, C]
+    for f2 in range(f):
+        inter = jnp.logical_and(
+            f2 * n_valid < qi * bq + bq, (f2 + 1) * n_valid > qi * bq
+        )
+
+        @pl.when(inter)
+        def _scatter_diag_grad(f2=f2):
+            dxs_ref[f2] = dxs_ref[f2] + jnp.where(fq == f2, dd, 0.0)
+
+    # ---- pass C: stage-1 backward ----
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        dq_h = jnp.zeros((bq, hd), f32)
+        for fi in range(f):
+            a = a_ref[fi, hi]
+            dxs_h = dxs_ref[fi][:, sl].astype(xs_ref.dtype)
+            dv_ref[0, fi, :, sl] += jax.lax.dot_general(
+                a, dxs_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            da = jax.lax.dot_general(
+                dxs_h, v_ref[0, fi, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [BQ, N_pad]
+            a32 = a.astype(f32)
+            r = jnp.sum(da * a32, axis=-1, keepdims=True)
+            dz = (a32 * (da - r)).astype(xs_ref.dtype)
+            dq_h = dq_h + jax.lax.dot_general(
+                dz, k_ref[0, fi, :, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            dk_ref[0, fi, :, sl] += scale * jax.lax.dot_general(
+                dz, q_ref[0, :, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        dq_ref[0, :, sl] = scale * dq_h
+
+
+def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
+                      block_q: int = 128, interpret: bool = False):
+    """Pallas backward wrapper. Returns (dq, dkf, dvf, dwq2, dbq2, dwk2)
+    in the primal dtypes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, C = q.shape
+    F, N = kf.shape[1], kf.shape[2]
+    n_pad = _round_up(N, 128)
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    bq = min(block_q, _round_up(S, 8))
+    s_pad = _round_up(S, bq)
+    if s_pad != S:
+        q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
+        dout = jnp.pad(dout, [(0, 0), (0, s_pad - S), (0, 0)])
+    bq2_2d = bq2.reshape(1, C)
+
+    grid = (B, s_pad // bq)
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, s_pad, C), f32),          # dq
+        jax.ShapeDtypeStruct((B, F, n_pad, C), f32),       # dk
+        jax.ShapeDtypeStruct((B, F, n_pad, C), f32),       # dv
+        jax.ShapeDtypeStruct((C, C), f32),                 # dwq2
+        jax.ShapeDtypeStruct((1, C), f32),                 # dbq2
+        jax.ShapeDtypeStruct((C, C), f32),                 # dwk2
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel, scale=scale, n_valid=N, f=F, h=heads, bq=bq
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+        ),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((F, bq, C), q.dtype),
+            pltpu.VMEM((F, heads, bq, n_pad), q.dtype),
+            pltpu.VMEM((F, bq, C), f32),
+            pltpu.VMEM((bq, C), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, kf, vf, wq2, bq2_2d, wk2, dout)
+    dq, dk, dv, dwq2, dbq2, dwk2 = outs
+    return (
+        dq[:, :S].astype(q.dtype),
+        dk[:, :, :N].astype(kf.dtype),
+        dv[:, :, :N].astype(vf.dtype),
+        dwq2.astype(wq2.dtype),
+        dbq2.reshape(bq2.shape).astype(bq2.dtype),
+        dwk2.astype(wk2.dtype),
+    )
+
+# backward implementation selector (A/B measurable like KERNEL_FLAGS)
+BWD_USE_PALLAS = True
+
+
 def _fused_bwd(scale, heads, interpret, res, g):
     q, kf, vf, wq2, bq2, wk2, bk2 = res
+    if BWD_USE_PALLAS:
+        dq, dk, dv, dwq2, dbq2, dwk2 = _fused_bwd_pallas(
+            q, kf, vf, wq2, bq2, wk2, g, scale, heads, interpret=interpret
+        )
+        return dq, dk, dv, dwq2, dbq2, dwk2, jnp.zeros_like(bk2)
     _, vjp = jax.vjp(
         lambda *a: _xla_reference(*a, scale, heads), q, kf, vf, wq2, bq2,
         wk2, bk2,

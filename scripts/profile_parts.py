@@ -71,6 +71,30 @@ def main():
 
         _timed(chain_kernel, x, kf, vf, label="fused kernel")
 
+    if "kernel_bwd" in parts:
+        from focus_tpu.ops.pallas.trajectory_block import fused_trajectory_core
+
+        def chain_kernel_bwd(q, kf, vf):
+            def loss(q):
+                t = q
+                for _ in range(max(CHAIN // 8, 2)):
+                    t = fused_trajectory_core(
+                        t, kf, vf, w_cc, b_c, w_cc, b_c, scale, h
+                    )
+                return jnp.sum(t.astype(jnp.float32))
+
+            return jax.grad(loss)(q)
+
+        n = max(CHAIN // 8, 2)
+        f = jax.jit(chain_kernel_bwd)
+        out = jax.block_until_ready(f(x, kf, vf))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = jax.block_until_ready(f(x, kf, vf))
+        dt = (time.perf_counter() - t0) / 4 / n * 1000
+        print(f"fused kernel fwd+bwd (custom_vjp XLA recompute): "
+              f"{dt:.3f} ms/unit", flush=True)
+
     if "qkv" in parts:
         def chain_qkv(t):
             for _ in range(CHAIN):
@@ -128,16 +152,20 @@ def main():
             lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes
         )
 
+        n_ch = max(CHAIN // 8, 3)
+
         def chain_orvit(t):
-            for _ in range(max(CHAIN // 8, 3)):
+            for _ in range(n_ch):
                 t, _ = blk.apply(params, t, meta, (F, 14, 14))
             return t
 
-        global CHAIN
-        old = CHAIN
-        CHAIN = max(CHAIN // 8, 3)
-        _timed(chain_orvit, xc, label="ORViT block (full)")
-        CHAIN = old
+        f_ov = jax.jit(chain_orvit)
+        out = jax.block_until_ready(f_ov(xc))
+        t0 = time.perf_counter()
+        for _ in range(6):
+            out = jax.block_until_ready(f_ov(xc))
+        dt = (time.perf_counter() - t0) / 6 / n_ch * 1000
+        print(f"ORViT block (full): {dt:.3f} ms/unit", flush=True)
 
     if "ln" in parts:
         def chain_ln(t):

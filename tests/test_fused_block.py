@@ -53,3 +53,41 @@ def test_fused_core_grad_matches_xla():
     g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_fused_bwd_pallas_padded_shapes():
+    """Backward kernel with N not 128-aligned and S needing q-padding
+    (pads must self-neutralise in every gradient)."""
+    from focus_tpu.ops.pallas.trajectory_block import (
+        _fused_bwd_pallas,
+        _xla_reference,
+    )
+
+    rs = np.random.RandomState(3)
+    B, heads, F, N, C = 2, 4, 4, 18, 64
+    S = F * N
+    q = jnp.asarray(rs.randn(B, S, C) * 0.3, jnp.float32)
+    kf = jnp.asarray(rs.randn(B, F, N, C) * 0.3, jnp.float32)
+    vf = jnp.asarray(rs.randn(B, F, N, C) * 0.3, jnp.float32)
+    wq2 = jnp.asarray(rs.randn(C, C) * 0.1, jnp.float32)
+    wk2 = jnp.asarray(rs.randn(C, C) * 0.1, jnp.float32)
+    bq2 = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    bk2 = jnp.zeros((C,))
+    scale = (C // heads) ** -0.5
+    dout = jnp.asarray(rs.randn(B, S, C), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, scale, heads),
+        q, kf, vf, wq2, bq2, wk2, bk2,
+    )
+    gold = vjp(dout)
+    outs = _fused_bwd_pallas(
+        q, kf, vf, wq2, bq2, wk2, dout, scale, heads, block_q=32,
+        interpret=True,
+    )
+    for name, ours, ref in zip(
+        ["dq", "dkf", "dvf", "dwq2", "dbq2", "dwk2"], outs, gold[:6]
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=5e-5, err_msg=name
+        )

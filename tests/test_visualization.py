@@ -167,3 +167,64 @@ def test_demo_end_to_end_on_synthetic_video(tmp_path):
     import os
 
     assert os.path.getsize(cfg.DEMO.OUTPUT_FILE) > 1000
+
+
+def test_step_profiler_writes_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from focus_tpu.config import get_cfg
+    from focus_tpu.utils.profiler import StepProfiler
+
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TPU.PROFILER = True
+    cfg.TPU.PROFILER_START_STEP = 1
+    cfg.TPU.PROFILER_NUM_STEPS = 2
+    prof = StepProfiler(cfg)
+    f = jax.jit(lambda x: x @ x)
+    x = jnp.ones((64, 64))
+    for step in range(5):
+        prof.step(step)
+        x = f(x)
+    prof.stop()
+    import glob
+    import os
+
+    traces = glob.glob(
+        os.path.join(str(tmp_path), "profiler", "**", "*"), recursive=True
+    )
+    assert any(os.path.isfile(t) for t in traces), traces
+
+
+def test_movi_downloader_episode_layout(tmp_path):
+    """save_episode writes the exact PNG layout Movi_e(_with_masks)
+    consumes (download itself is network-gated)."""
+    import argparse
+
+    from tools.download_movi import save_episode
+
+    rs = np.random.RandomState(0)
+    record = {
+        "video": rs.randint(0, 255, (3, 16, 16, 3), np.uint8),
+        "segmentations": rs.randint(0, 4, (3, 16, 16, 1), np.uint8),
+    }
+    args = argparse.Namespace(
+        out_path=str(tmp_path), dwn_opt="i+m", max_num_objs=4
+    )
+    save_episode(record, 0, args)
+    import os
+
+    assert os.path.exists(
+        str(tmp_path / "data" / "00000000" / "00000002_image.png")
+    )
+    assert os.path.exists(
+        str(tmp_path / "masks" / "00000000" / "00000002_mask_03.png")
+    )
+    # readable by the dataset's mask convention (binary 0/255)
+    from PIL import Image
+
+    m = np.asarray(
+        Image.open(str(tmp_path / "masks" / "00000000" / "00000001_mask_00.png"))
+    )
+    assert set(np.unique(m)) <= {0, 255}
