@@ -37,6 +37,9 @@ def main():
 
     cfg = ge._flagship_cfg()
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # tanh-gelu: measured at VPU-free (fuses into the fc2 matmul like
+    # relu) vs ~0.6 ms/block for exact erf — see BENCH_NOTES round 2
+    cfg.TPU.FAST_GELU = True
     model = build_model(cfg)
 
     B = 8

@@ -217,10 +217,159 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
+                     o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq):
+    """v4: stage-1 QK batched across frames.
+
+    v3's grid is (b, q_block, frame) with one [BQ, hd] x [hd, N] matmul
+    per (head, frame) — 2*h*f tiny MXU launches per query block, whose
+    fixed launch/drain latency dominates the measured 9.3 us/cell
+    (BENCH_NOTES round 2 kernel study). Here the grid is (b, q_block)
+    and the per-head QK runs once over the frame-concatenated keys,
+    [BQ, hd] x [hd, F*N] — h launches instead of h*f, each deep enough
+    to stream. The PV product still runs per frame (each frame's
+    aggregate must stay separate for stage 2), as does the softmax
+    normalisation, slicing the wide logit matrix at lane-aligned N_pad
+    boundaries. Stage 2 is v3's measured-best (fouter) form.
+
+    k_ref/v_ref: [1, F*N_pad, C] (frame-major rows); scratch as v3.
+    """
+    C = q_ref.shape[-1]
+    hd = C // h
+    n_pad = k_ref.shape[1] // f
+    qi = pl.program_id(1)
+    c = scale * _LOG2E
+    pad_count = float(n_pad - n_valid)
+
+    tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    fq = tok // n_valid
+
+    # ---- stage 1: per head, QK over all frames at once ----
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        logits = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, F*N_pad]
+        p = jnp.exp2(jnp.minimum(logits * c, 110.0))
+        for fi in range(f):
+            pf = p[:, fi * n_pad:(fi + 1) * n_pad]
+            s = jnp.sum(pf, axis=-1, keepdims=True) - pad_count
+            o = jax.lax.dot_general(
+                pf.astype(v_ref.dtype),
+                v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xs_ref[fi, :, sl] = (o / s).astype(xs_ref.dtype)
+
+    # ---- diagonal collect (v3 diag_frame form) ----
+    for fi in range(f):
+        inter = jnp.logical_and(
+            fi * n_valid < qi * bq + bq, (fi + 1) * n_valid > qi * bq
+        )
+
+        @pl.when(inter)
+        def _collect_diag(fi=fi):
+            diag_ref[...] = jnp.where(fq == fi, xs_ref[fi], diag_ref[...])
+
+    # ---- stage 2 (v3 fouter form) ----
+    x_diag = diag_ref[...]
+    q2 = jax.lax.dot_general(
+        x_diag, wq2_ref[...].astype(xs_ref.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + bq2_ref[0].astype(jnp.float32)
+    q2 = q2 * scale
+    wk2 = wk2_ref[...]
+    gs = [
+        jax.lax.dot_general(
+            q2[:, hi * hd:(hi + 1) * hd].astype(xs_ref.dtype),
+            wk2[:, hi * hd:(hi + 1) * hd],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for hi in range(h)
+    ]
+    cols = [[None] * f for _ in range(h)]
+    for f2 in range(f):
+        xs_f = xs_ref[f2].astype(jnp.float32)
+        for hi in range(h):
+            cols[hi][f2] = jnp.sum(gs[hi] * xs_f, axis=-1, keepdims=True)
+    outs = []
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        l2 = jnp.concatenate(cols[hi], axis=-1)
+        m2 = jnp.max(l2, axis=-1, keepdims=True)
+        a2 = jnp.exp(l2 - m2)
+        a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
+        acc = jnp.zeros((bq, hd), jnp.float32)
+        for f2 in range(f):
+            acc = acc + a2[:, f2:f2 + 1] * xs_ref[f2, :, sl].astype(
+                jnp.float32
+            )
+        outs.append(acc)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                         block_q: int = 256, interpret: bool = False):
+    """v4 wrapper: grid (b, q_block); keys/values frame-concatenated."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, C = q.shape
+    F, N = kf.shape[1], kf.shape[2]
+    n_pad = _round_up(N, 128)
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    kf2 = kf.reshape(B, F * n_pad, C)
+    vf2 = vf.reshape(B, F * n_pad, C)
+    bq = min(block_q, _round_up(S, 8))
+    s_pad = _round_up(S, bq)
+    if s_pad != S:
+        q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
+    bq2_2d = bq2.reshape(1, C)
+    bk2_2d = bk2.reshape(1, C)
+
+    grid = (B, s_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel_v4, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((F, bq, C), q.dtype),
+            pltpu.VMEM((bq, C), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, kf2, vf2, wq2, bq2_2d, wk2, bk2_2d)
+    return out[:, :S]
+
+
 # measured-best flag combination (see BENCH_NOTES.md kernel study);
 # overridable for A/B profiling via scripts/profile_kernel_variants.py
 KERNEL_FLAGS = dict(nomax=True, inline_diag=False, stage2_bf16=False,
                     diag_frame=True, fouter=True)
+
+# v4 (frames-batched QK) selector; measured against v3 on chip
+FWD_USE_V4 = True
 
 
 def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
@@ -300,15 +449,17 @@ def _xla_reference(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_trajectory_core(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
                           interpret=False):
-    return _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-                             interpret=interpret)
+    fwd = _fused_fwd_pallas_v4 if FWD_USE_V4 else _fused_fwd_pallas
+    return fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+               interpret=interpret)
 
 
 def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
     # under grad, the kernel compiles with extra layout constraints that
     # push bq=256 past the VMEM limit — use the smaller block for training
-    out = _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-                            block_q=128, interpret=interpret)
+    fwd = _fused_fwd_pallas_v4 if FWD_USE_V4 else _fused_fwd_pallas
+    out = fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+              block_q=128, interpret=interpret)
     return out, (q, kf, vf, wq2, bq2, wk2, bk2)
 
 
@@ -316,7 +467,7 @@ def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
                       dq_ref, dk_ref, dv_ref, dwq2_ref, dbq2_ref, dwk2_ref,
-                      xs_ref, a_ref, dxs_ref, diag_ref, *,
+                      xs_ref, a_ref, dxs_ref, diag_ref, dz_ref, *,
                       scale, n_valid, f, h, bq):
     """Backward of the fused trajectory core, entirely in VMEM.
 
@@ -326,17 +477,20 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
     the wrapper, and pad-column dZ terms multiply zeroed k rows in dq)
     and cached in a_ref for the stage-1 backward, so the [S, S]-sized
     weight tensor never exists in HBM — the reason the XLA-recompute
-    backward was 3x slower (BENCH_NOTES round 2).
+    backward was 3x slower (BENCH_NOTES round 2). The recompute QK and
+    the dq contraction run frame-concatenated (kernel-v4 form) to
+    amortise MXU launch latency.
 
-    Shapes: q_ref/do_ref [1, BQ, C]; k_ref/v_ref [1, F, N_pad, C];
-    dq [1, BQ, C] f32; dk/dv [1, F, N_pad, C] f32 accumulated over
-    q-blocks; dwq2/dwk2 [C, C] f32 and dbq2 [1, C] f32 accumulated over
-    every cell. Scratch: xs [F, BQ, C] bf16, a [F, H, BQ, N_pad] bf16,
-    dxs [F, BQ, C] f32, diag [BQ, C] bf16.
+    Shapes: q_ref/do_ref [1, BQ, C]; k_ref/v_ref [1, F*N_pad, C]
+    (frame-major rows); dq [1, BQ, C] f32; dk/dv [1, F, N_pad, C] f32
+    accumulated over q-blocks; dwq2/dwk2 [C, C] f32 and dbq2 [1, C] f32
+    accumulated over every cell. Scratch: xs [F, BQ, C] bf16,
+    a [F, H, BQ, N_pad] bf16, dxs [F, BQ, C] f32, diag [BQ, C] bf16,
+    dz [BQ, F*N_pad] bf16.
     """
     C = q_ref.shape[-1]
     hd = C // h
-    n_pad = k_ref.shape[2]
+    n_pad = k_ref.shape[1] // f
     b = pl.program_id(0)
     qi = pl.program_id(1)
     c = scale * _LOG2E
@@ -363,21 +517,25 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
     # CONTRACTS over the query dim (dW/dk/dv), so garbage in those rows
     # would poison real gradients — zero the scratch first
     diag_ref[...] = jnp.zeros_like(diag_ref)
-    for fi in range(f):
-        for hi in range(h):
-            sl = slice(hi * hd, (hi + 1) * hd)
-            logits = jax.lax.dot_general(
-                q_ref[0, :, sl], k_ref[0, fi, :, sl],
-                (((1,), (1,)), ((), ())), preferred_element_type=f32,
-            )
-            pu = jnp.exp2(jnp.minimum(logits * c, 110.0))
-            ssum = jnp.sum(pu, axis=-1, keepdims=True) - pad_count
-            a = (pu / ssum).astype(a_ref.dtype)
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        # QK batched across frames (v4 form): h launches, not h*f
+        logits = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )  # [BQ, F*N_pad]
+        pu = jnp.exp2(jnp.minimum(logits * c, 110.0))
+        for fi in range(f):
+            puf = pu[:, fi * n_pad:(fi + 1) * n_pad]
+            ssum = jnp.sum(puf, axis=-1, keepdims=True) - pad_count
+            a = (puf / ssum).astype(a_ref.dtype)
             a_ref[fi, hi] = a
             xs_ref[fi, :, sl] = jax.lax.dot_general(
-                a, v_ref[0, fi, :, sl], (((1,), (0,)), ((), ())),
+                a, v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             ).astype(xs_ref.dtype)
+    for fi in range(f):
         inter = jnp.logical_and(
             fi * n_valid < qi * bq + bq, (fi + 1) * n_valid > qi * bq
         )
@@ -467,8 +625,8 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
     # ---- pass C: stage-1 backward ----
     for hi in range(h):
         sl = slice(hi * hd, (hi + 1) * hd)
-        dq_h = jnp.zeros((bq, hd), f32)
         for fi in range(f):
+            rows = slice(fi * n_pad, (fi + 1) * n_pad)
             a = a_ref[fi, hi]
             dxs_h = dxs_ref[fi][:, sl].astype(xs_ref.dtype)
             dv_ref[0, fi, :, sl] += jax.lax.dot_general(
@@ -476,21 +634,22 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
                 preferred_element_type=f32,
             )
             da = jax.lax.dot_general(
-                dxs_h, v_ref[0, fi, :, sl], (((1,), (1,)), ((), ())),
+                dxs_h, v_ref[0, rows, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
             )  # [BQ, N_pad]
             a32 = a.astype(f32)
             r = jnp.sum(da * a32, axis=-1, keepdims=True)
             dz = (a32 * (da - r)).astype(xs_ref.dtype)
-            dq_h = dq_h + jax.lax.dot_general(
-                dz, k_ref[0, fi, :, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+            dz_ref[:, rows] = dz
             dk_ref[0, fi, :, sl] += scale * jax.lax.dot_general(
                 dz, q_ref[0, :, sl], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-        dq_ref[0, :, sl] = scale * dq_h
+        # dq for this head in ONE frame-concatenated matmul (v4 form)
+        dq_ref[0, :, sl] = scale * jax.lax.dot_general(
+            dz_ref[...], k_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
 
 
 def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
@@ -506,6 +665,8 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
+    kf2 = kf.reshape(B, F * n_pad, C)
+    vf2 = vf.reshape(B, F * n_pad, C)
     bq = min(block_q, _round_up(S, 8))
     s_pad = _round_up(S, bq)
     if s_pad != S:
@@ -530,8 +691,8 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
             pl.BlockSpec((1, C), lambda b, i: (0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
@@ -551,13 +712,14 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
             pltpu.VMEM((F, heads, bq, n_pad), q.dtype),
             pltpu.VMEM((F, bq, C), f32),
             pltpu.VMEM((bq, C), q.dtype),
+            pltpu.VMEM((bq, F * n_pad), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q, kf, vf, wq2, bq2_2d, wk2, dout)
+    )(q, kf2, vf2, wq2, bq2_2d, wk2, dout)
     dq, dk, dv, dwq2, dbq2, dwk2 = outs
     return (
         dq[:, :S].astype(q.dtype),
