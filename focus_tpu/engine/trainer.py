@@ -103,7 +103,13 @@ def _detection_loss(preds, labels, mask):
     return (bce * mask).sum() / denom
 
 
-def make_supervised_train_step(model, cfg, mesh, loss_fn):
+def make_supervised_train_step(model, cfg, mesh, loss_fn,
+                               state_sharding=None):
+    """``state_sharding``: optional per-leaf sharding tree for the
+    TrainState (mesh_lib.state_shardings). Pinning it on BOTH sides of
+    the jit keeps tensor-parallel placements stable across steps — with
+    unpinned outputs GSPMD re-chooses layouts, and the donated next-step
+    input would no longer match the compiled signature."""
     is_ek = cfg.TRAIN.DATASET == "epickitchens"
     detection = cfg.DETECTION.ENABLE
     use_mixup = cfg.MIXUP.ENABLE and not is_ek and not detection
@@ -154,11 +160,15 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn):
         return new_state, stats
 
     data = mesh_lib.batch_sharded(mesh)
-    return jax.jit(
-        train_step,
-        in_shardings=(None, data, data, data, None),
-        donate_argnums=(0,),
-    )
+    kw = {}
+    if state_sharding is not None:
+        kw = dict(
+            in_shardings=(state_sharding, data, data, data, None),
+            out_shardings=(state_sharding, None),
+        )
+    else:
+        kw = dict(in_shardings=(None, data, data, data, None))
+    return jax.jit(train_step, donate_argnums=(0,), **kw)
 
 
 def make_supervised_eval_step(model, cfg, mesh):
@@ -205,7 +215,9 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
         params, cfg, steps_per_epoch, no_weight_decay_paths=no_wd
     )
     state = TrainState.create(params, tx, batch_stats=batch_stats)
-    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    # replicated for pure DP; tensor-parallel specs on the transformer
+    # dense layers when the mesh has a model axis (TPU extension)
+    state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logger.info(
         f"{cfg.MODEL.MODEL_NAME} initialised: {n_params / 1e6:.2f}M params"
@@ -379,13 +391,18 @@ def train(cfg):
         state, start_epoch = cu.load_checkpoint(
             cu.get_last_checkpoint(ckpt_dir), state
         )
-        state = jax.device_put(state, mesh_lib.replicated(mesh))
+        state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
     elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
         state, start_epoch = cu.load_train_checkpoint(cfg, state)
-        state = jax.device_put(state, mesh_lib.replicated(mesh))
+        state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
 
     loss_fn = losses_lib.get_loss_func(cfg)
-    train_step = make_supervised_train_step(model, cfg, mesh, loss_fn)
+    state_sharding = mesh_lib.state_shardings(mesh, state)
+    if mesh.shape[mesh_lib.MODEL_AXIS] <= 1:
+        state_sharding = None  # pure DP: keep the unpinned signature
+    train_step = make_supervised_train_step(
+        model, cfg, mesh, loss_fn, state_sharding=state_sharding
+    )
     eval_step = make_supervised_eval_step(model, cfg, mesh)
     base_rng = jax.random.PRNGKey(cfg.RNG_SEED)
 

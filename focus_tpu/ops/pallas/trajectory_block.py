@@ -467,8 +467,8 @@ def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
                       dq_ref, dk_ref, dv_ref, dwq2_ref, dbq2_ref, dwk2_ref,
-                      xs_ref, a_ref, dxs_ref, diag_ref, dz_ref, *,
-                      scale, n_valid, f, h, bq):
+                      xs_ref, a_ref, dxs_ref, diag_ref, dz_ref, g_ref, *,
+                      scale, n_valid, f, h, bq, skip_b=False, skip_c=False):
     """Backward of the fused trajectory core, entirely in VMEM.
 
     Grid (b, q_block), both sequential; frames loop inside the cell. The
@@ -482,11 +482,11 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
     amortise MXU launch latency.
 
     Shapes: q_ref/do_ref [1, BQ, C]; k_ref/v_ref [1, F*N_pad, C]
-    (frame-major rows); dq [1, BQ, C] f32; dk/dv [1, F, N_pad, C] f32
+    (frame-major rows); dq [1, BQ, C] f32; dk/dv [1, F*N_pad, C] f32
     accumulated over q-blocks; dwq2/dwk2 [C, C] f32 and dbq2 [1, C] f32
     accumulated over every cell. Scratch: xs [F, BQ, C] bf16,
     a [F, H, BQ, N_pad] bf16, dxs [F, BQ, C] f32, diag [BQ, C] bf16,
-    dz [BQ, F*N_pad] bf16.
+    dz [BQ, F*N_pad] bf16, g [H, BQ, C] bf16.
     """
     C = q_ref.shape[-1]
     hd = C // h
@@ -544,24 +544,33 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
         def _collect_diag(fi=fi):
             diag_ref[...] = jnp.where(fq == fi, xs_ref[fi], diag_ref[...])
 
+    if skip_b:  # ablation timing only (outputs invalid)
+        return
     # ---- pass B: stage-2 forward remainder + backward ----
+    # The naive per-(head, frame) formulation re-reads and re-writes the
+    # f32 [BQ, C] dxs accumulators h*f times (~115 MB of VMEM traffic per
+    # cell — the measured bottleneck of the whole backward). Instead the
+    # per-head stage-2 logit directions g_h are cached once in bf16
+    # scratch and dxs is accumulated frame-outer in registers with a
+    # single write per frame.
     q2 = jax.lax.dot_general(
         diag_ref[...], wq2_ref[...].astype(diag_ref.dtype),
         (((1,), (0,)), ((), ())), preferred_element_type=f32,
     ) + bq2_ref[0].astype(f32)
     q2b = q2.astype(diag_ref.dtype)
     wk2 = wk2_ref[...]
-    dq2_parts = []
-    for fi in range(f):
-        dxs_ref[fi] = jnp.zeros((bq, C), f32)
     for hi in range(h):
         sl = slice(hi * hd, (hi + 1) * hd)
-        g_h = jax.lax.dot_general(
+        g_ref[hi] = jax.lax.dot_general(
             q2b[:, sl], wk2[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=f32,
-        )  # [BQ, C], unscaled
-        g_hb = g_h.astype(xs_ref.dtype)
-        do_h = do_ref[0, :, sl].astype(f32)
+        ).astype(g_ref.dtype)  # [BQ, C], unscaled
+    do32 = do_ref[0].astype(f32)
+    dq2_parts, a2s, dl2s = [], [], []
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        g_hb = g_ref[hi]
+        do_h = do32[:, sl]
         l2_cols, da2_cols = [], []
         for f2 in range(f):
             xs_f = xs_ref[f2]
@@ -581,15 +590,12 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
         a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
         da2 = jnp.concatenate(da2_cols, axis=-1)
         r2 = jnp.sum(a2 * da2, axis=-1, keepdims=True)
-        dl2 = a2 * (da2 - r2)  # [BQ, F]
+        dl2 = scale * (a2 * (da2 - r2))  # [BQ, F], attention scale folded
+        a2s.append(a2)
+        dl2s.append(dl2)
         dg = jnp.zeros((bq, C), f32)
         for f2 in range(f):
-            w_val = a2[:, f2:f2 + 1]
-            w_log = scale * dl2[:, f2:f2 + 1]
-            xs_f32 = xs_ref[f2].astype(f32)
-            dxs_ref[f2, :, sl] = dxs_ref[f2, :, sl] + w_val * do_h
-            dxs_ref[f2] = dxs_ref[f2] + w_log * g_h
-            dg = dg + w_log * xs_f32
+            dg = dg + dl2[:, f2:f2 + 1] * xs_ref[f2].astype(f32)
         dgb = dg.astype(xs_ref.dtype)
         dq2_parts.append(
             jax.lax.dot_general(
@@ -613,15 +619,24 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
         dq2b, wq2_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )  # [BQ, C]
+    # dxs accumulated frame-outer: logit terms from every head, the
+    # own-slice value terms (disjoint per head), and the diagonal
+    # (stage-2 query) gradient — one write per frame
     for f2 in range(f):
-        inter = jnp.logical_and(
-            f2 * n_valid < qi * bq + bq, (f2 + 1) * n_valid > qi * bq
+        acc = jnp.where(fq == f2, dd, 0.0)
+        for hi in range(h):
+            acc = acc + dl2s[hi][:, f2:f2 + 1] * g_ref[hi].astype(f32)
+        aw = jnp.concatenate(
+            [
+                jnp.broadcast_to(a2s[hi][:, f2:f2 + 1], (bq, hd))
+                for hi in range(h)
+            ],
+            axis=1,
         )
+        dxs_ref[f2] = acc + aw * do32
 
-        @pl.when(inter)
-        def _scatter_diag_grad(f2=f2):
-            dxs_ref[f2] = dxs_ref[f2] + jnp.where(fq == f2, dd, 0.0)
-
+    if skip_c:  # ablation timing only (outputs invalid)
+        return
     # ---- pass C: stage-1 backward ----
     for hi in range(h):
         sl = slice(hi * hd, (hi + 1) * hd)
@@ -629,7 +644,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
             rows = slice(fi * n_pad, (fi + 1) * n_pad)
             a = a_ref[fi, hi]
             dxs_h = dxs_ref[fi][:, sl].astype(xs_ref.dtype)
-            dv_ref[0, fi, :, sl] += jax.lax.dot_general(
+            dv_ref[0, rows, sl] += jax.lax.dot_general(
                 a, dxs_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
@@ -641,19 +656,22 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
             r = jnp.sum(da * a32, axis=-1, keepdims=True)
             dz = (a32 * (da - r)).astype(xs_ref.dtype)
             dz_ref[:, rows] = dz
-            dk_ref[0, fi, :, sl] += scale * jax.lax.dot_general(
-                dz, q_ref[0, :, sl], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
-        # dq for this head in ONE frame-concatenated matmul (v4 form)
+        # dq and dk for this head in ONE frame-concatenated matmul each
+        # (v4 form): dk rows for frame f touch only dz columns of frame
+        # f, so dk over all frames = dz_cat^T x q_sl
         dq_ref[0, :, sl] = scale * jax.lax.dot_general(
             dz_ref[...], k_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dk_ref[0, :, sl] += scale * jax.lax.dot_general(
+            dz_ref[...], q_ref[0, :, sl], (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
 
 
 def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
-                      block_q: int = 128, interpret: bool = False):
+                      block_q: int = 256, interpret: bool = False,
+                      skip_b: bool = False, skip_c: bool = False):
     """Pallas backward wrapper. Returns (dq, dkf, dvf, dwq2, dbq2, dwk2)
     in the primal dtypes."""
     from jax.experimental.pallas import tpu as pltpu
@@ -678,15 +696,16 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
     f32 = jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((B, s_pad, C), f32),          # dq
-        jax.ShapeDtypeStruct((B, F, n_pad, C), f32),       # dk
-        jax.ShapeDtypeStruct((B, F, n_pad, C), f32),       # dv
+        jax.ShapeDtypeStruct((B, F * n_pad, C), f32),      # dk
+        jax.ShapeDtypeStruct((B, F * n_pad, C), f32),      # dv
         jax.ShapeDtypeStruct((C, C), f32),                 # dwq2
         jax.ShapeDtypeStruct((1, C), f32),                 # dbq2
         jax.ShapeDtypeStruct((C, C), f32),                 # dwk2
     )
     outs = pl.pallas_call(
         functools.partial(
-            _fused_bwd_kernel, scale=scale, n_valid=N, f=F, h=heads, bq=bq
+            _fused_bwd_kernel, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
+            skip_b=skip_b, skip_c=skip_c,
         ),
         grid=grid,
         in_specs=[
@@ -700,8 +719,8 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
         ],
         out_specs=(
             pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, F, n_pad, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
             pl.BlockSpec((1, C), lambda b, i: (0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
@@ -713,6 +732,7 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
             pltpu.VMEM((F, bq, C), f32),
             pltpu.VMEM((bq, C), q.dtype),
             pltpu.VMEM((bq, F * n_pad), q.dtype),
+            pltpu.VMEM((heads, bq, C), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -721,6 +741,8 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
         interpret=interpret,
     )(q, kf2, vf2, wq2, bq2_2d, wk2, dout)
     dq, dk, dv, dwq2, dbq2, dwk2 = outs
+    dk = dk.reshape(B, F, n_pad, C)
+    dv = dv.reshape(B, F, n_pad, C)
     return (
         dq[:, :S].astype(q.dtype),
         dk[:, :, :N].astype(kf.dtype),

@@ -81,3 +81,51 @@ def shard_batch(mesh: Mesh, tree):
     """Device-put a host batch with the batch axis sharded."""
     sh = batch_sharded(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# Megatron-style tensor-parallel placement for transformer dense layers
+# (a TPU extension; the reference is DDP-only). Expanding projections are
+# column-parallel (output dim sharded), their consumers row-parallel
+# (input dim sharded) — XLA's GSPMD inserts the single per-block psum.
+# Module names are matched exactly against flax path components, so
+# `proj` does not catch `proj_q`/`proj_kv` (those feed the trajectory
+# kernel and stay replicated).
+_COL_PARALLEL = {"qkv", "fc1"}
+_ROW_PARALLEL = {"proj", "fc2"}
+
+
+def _tp_spec(path, leaf, model_size: int):
+    names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    ndim = getattr(leaf, "ndim", 0)
+    col = any(n in _COL_PARALLEL for n in names)
+    row = any(n in _ROW_PARALLEL for n in names)
+    is_kernel = names and names[-1] == "kernel"
+    is_bias = names and names[-1] == "bias"
+    # kernels: 2D dense or 3D scanned-stack ([layers, in, out]) only —
+    # conv kernels (patch embed 'proj') stay replicated
+    if col and is_kernel and ndim in (2, 3):
+        if leaf.shape[-1] % model_size == 0:
+            return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
+    elif col and is_bias and ndim in (1, 2):
+        if leaf.shape[-1] % model_size == 0:
+            return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
+    elif row and is_kernel and ndim in (2, 3):
+        if leaf.shape[-2] % model_size == 0:
+            return P(*([None] * (ndim - 2) + [MODEL_AXIS, None]))
+    return P()
+
+
+def state_shardings(mesh: Mesh, state):
+    """Per-leaf NamedShardings for a TrainState: tensor-parallel specs on
+    the recognised dense layers (params AND their optimizer moments —
+    the rules match path suffixes, which the adamw mu/nu trees share),
+    replicated elsewhere."""
+    model_size = mesh.shape[MODEL_AXIS]
+    if model_size <= 1:
+        return replicated(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _tp_spec(path, leaf, model_size)
+        ),
+        state,
+    )
