@@ -437,9 +437,34 @@ class SelfAttentionBlock(nn.Module):
         return x, thw
 
 
+class _ConvAsMatmul(nn.Module):
+    """Dense layer whose parameters keep nn.Conv's kernel layout
+    ([*kshape, dim]) so checkpoints/importers are unaffected."""
+
+    dim: int
+    kshape: tuple
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, patches):
+        k = self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (*self.kshape, self.dim),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        dtype = self.dtype or patches.dtype
+        w = k.reshape(-1, self.dim).astype(dtype)
+        return patches.astype(dtype) @ w + b.astype(dtype)
+
+
 class PatchEmbed3D(nn.Module):
     """3D conv tokenizer (reference stem_helper.py:290-321). Input
-    [B, T, H, W, C] -> tokens [B, T'·H'·W', dim]."""
+    [B, T, H, W, C] -> tokens [B, T'·H'·W', dim].
+
+    With stride == kernel (every Motionformer/MViT config) the conv is
+    a non-overlapping patch projection — computed as reshape + matmul:
+    XLA's conv emitter measured ~11 TFLOP/s on this shape in the device
+    trace where the dense form runs the MXU at full rate (~10x)."""
 
     dim: int
     kernel: tuple
@@ -448,6 +473,19 @@ class PatchEmbed3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        kt, kh, kw = self.kernel
+        if tuple(self.kernel) == tuple(self.stride):
+            B, T, H, W, C = x.shape
+            t_, h_, w_ = T // kt, H // kh, W // kw
+            patches = x[:, : t_ * kt, : h_ * kh, : w_ * kw].reshape(
+                B, t_, kt, h_, kh, w_, kw, C
+            ).transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                B, t_ * h_ * w_, kt * kh * kw * C
+            )
+            tokens = _ConvAsMatmul(
+                self.dim, (kt, kh, kw, C), dtype=self.dtype, name="proj"
+            )(patches)
+            return tokens, (t_, h_, w_)
         x = nn.Conv(
             self.dim, self.kernel, strides=self.stride, padding="VALID",
             kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype,

@@ -218,7 +218,8 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 
 
 def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
-                     o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq):
+                     o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq,
+                     skip_stage2=False, stage2_k2mm=False):
     """v4: stage-1 QK batched across frames.
 
     v3's grid is (b, q_block, frame) with one [BQ, hd] x [hd, N] matmul
@@ -274,6 +275,9 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
         def _collect_diag(fi=fi):
             diag_ref[...] = jnp.where(fq == fi, xs_ref[fi], diag_ref[...])
 
+    if skip_stage2:  # ablation timing only (output is the diagonal)
+        o_ref[0] = diag_ref[...].astype(o_ref.dtype)
+        return
     # ---- stage 2 (v3 fouter form) ----
     x_diag = diag_ref[...]
     q2 = jax.lax.dot_general(
@@ -282,20 +286,41 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
     ) + bq2_ref[0].astype(jnp.float32)
     q2 = q2 * scale
     wk2 = wk2_ref[...]
-    gs = [
-        jax.lax.dot_general(
-            q2[:, hi * hd:(hi + 1) * hd].astype(xs_ref.dtype),
-            wk2[:, hi * hd:(hi + 1) * hd],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for hi in range(h)
-    ]
     cols = [[None] * f for _ in range(h)]
-    for f2 in range(f):
-        xs_f = xs_ref[f2].astype(jnp.float32)
+    if stage2_k2mm:
+        # MXU-side stage-2 logits: project the frame aggregates through
+        # Wk2 in ONE frame-stacked matmul per head ([F*BQ, C] x [C, hd])
+        # and reduce the remaining rowwise dot over hd=64 instead of
+        # C=768 — trades 2.4 GFLOP/cell of MXU for 12x fewer VPU
+        # reduction elements
+        xs2d = xs_ref[...].reshape(f * bq, C)
         for hi in range(h):
-            cols[hi][f2] = jnp.sum(gs[hi] * xs_f, axis=-1, keepdims=True)
+            sl = slice(hi * hd, (hi + 1) * hd)
+            k2 = jax.lax.dot_general(
+                xs2d, wk2[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(f, bq, hd)
+            q2_h = q2[:, sl]
+            for f2 in range(f):
+                cols[hi][f2] = jnp.sum(
+                    q2_h * k2[f2], axis=-1, keepdims=True
+                )
+    else:
+        gs = [
+            jax.lax.dot_general(
+                q2[:, hi * hd:(hi + 1) * hd].astype(xs_ref.dtype),
+                wk2[:, hi * hd:(hi + 1) * hd],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for hi in range(h)
+        ]
+        for f2 in range(f):
+            xs_f = xs_ref[f2].astype(jnp.float32)
+            for hi in range(h):
+                cols[hi][f2] = jnp.sum(
+                    gs[hi] * xs_f, axis=-1, keepdims=True
+                )
     outs = []
     for hi in range(h):
         sl = slice(hi * hd, (hi + 1) * hd)
@@ -313,7 +338,9 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 
 
 def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-                         block_q: int = 256, interpret: bool = False):
+                         block_q: int = 256, interpret: bool = False,
+                         skip_stage2: bool = False,
+                         stage2_k2mm: bool = False):
     """v4 wrapper: grid (b, q_block); keys/values frame-concatenated."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -337,6 +364,7 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel_v4, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
+            skip_stage2=skip_stage2, stage2_k2mm=stage2_k2mm,
         ),
         grid=grid,
         in_specs=[

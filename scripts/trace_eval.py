@@ -32,6 +32,7 @@ def main():
 
     cfg = ge._flagship_cfg()
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.FAST_GELU = True
     model = build_model(cfg)
 
     B = 8

@@ -91,3 +91,31 @@ def test_fused_bwd_pallas_padded_shapes():
         np.testing.assert_allclose(
             np.asarray(ours), np.asarray(ref), atol=5e-5, err_msg=name
         )
+
+
+def test_patch_embed_matmul_matches_conv():
+    """stride==kernel PatchEmbed3D computes via reshape+matmul with the
+    exact nn.Conv param tree; outputs must match the conv."""
+    import flax.linen as nn
+
+    from focus_tpu.models.motionformer import PatchEmbed3D
+
+    class SlowPE(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(
+                24, (2, 4, 4), strides=(2, 4, 4), padding="VALID",
+                kernel_init=nn.initializers.xavier_uniform(), name="proj",
+            )(x)
+            return x.reshape(x.shape[0], -1, 24)
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 4, 16, 16, 3), jnp.float32)
+    fast = PatchEmbed3D(dim=24, kernel=(2, 4, 4), stride=(2, 4, 4))
+    params = fast.init(jax.random.PRNGKey(0), x)
+    out_fast, shp = fast.apply(params, x)
+    assert shp == (2, 4, 4)
+    out_slow = SlowPE().apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_slow), atol=1e-5
+    )
