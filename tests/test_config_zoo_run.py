@@ -144,3 +144,39 @@ def test_launcher_scripts_reference_existing_configs():
             assert os.path.exists(os.path.join(REPO, m.group(0))), (
                 fname, m.group(0),
             )
+
+
+def test_kinetics_mvit_yaml_runs(tmp_path, monkeypatch):
+    """configs/Kinetics/MVIT_B_16x4_CONV.yaml — pooled-KV multiscale
+    attention with the AUG.ENABLE train recipe (RandAugment + relative
+    scales + random erasing + repeated aug)."""
+    pytest.importorskip("cv2")
+    root = str(tmp_path / "k400")
+    synth.make_kinetics_tree(root, num_videos=8, num_frames=48, size=64)
+    overrides = dict(COMMON)
+    overrides.update({
+        "TRAIN.METHOD": "sup",
+        "TEST.EVAL_TASK": "ar",
+        "DATA.PATH_TO_DATA_DIR": root,
+        "TRAIN.BATCH_SIZE": "8",
+        "TEST.BATCH_SIZE": "8",
+        "TEST.NUM_ENSEMBLE_VIEWS": "1",
+        "TEST.NUM_SPATIAL_CROPS": "1",
+        "DATA.NUM_FRAMES": "4",
+        "DATA.SAMPLING_RATE": "2",
+        "DATA.TRAIN_JITTER_SCALES": "[72,88]",
+        "DATA.TRAIN_CROP_SIZE": "64",
+        "DATA.TEST_CROP_SIZE": "64",
+        "MODEL.NUM_CLASSES": "4",
+        "MVIT.EMBED_DIM": "24",
+        "MVIT.NUM_HEADS": "2",
+        "MVIT.DEPTH": "4",
+        "MVIT.DIM_MUL": "[[2, 2.0]]",
+        "MVIT.HEAD_MUL": "[[2, 2.0]]",
+        "MVIT.POOL_Q_STRIDE": "[[2, 1, 2, 2]]",
+        "MVIT.POOL_KV_STRIDE_ADAPTIVE": "[1, 2, 2]",
+        "OUTPUT_DIR": str(tmp_path / "out"),
+    })
+    run_yaml(monkeypatch, "configs/Kinetics/MVIT_B_16x4_CONV.yaml",
+             "zoo_mvit", overrides)
+    assert (tmp_path / "out" / "checkpoints").is_dir()
