@@ -150,7 +150,7 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, causal: bool = False, valid_len=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cache=None):
         B, T, _ = q.shape
         h = self.num_heads
         hd = self.d_model // h
@@ -160,6 +160,30 @@ class MultiHeadAttention(nn.Module):
         qh = proj("proj_q", 1.0)(q).reshape(B, T, h, hd)
         kh = proj("proj_k", 1.0)(k).reshape(B, k.shape[1], h, hd)
         vh = proj("proj_v", 1.0)(v).reshape(B, v.shape[1], h, hd)
+
+        if cache is not None:
+            # incremental decode: q/k/v are the single token at traced
+            # position t; attend over the updated cache rows <= t
+            k_cache, v_cache, t = cache
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, kh.astype(k_cache.dtype), t, axis=1
+            )
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, vh.astype(v_cache.dtype), t, axis=1
+            )
+            S = k_cache.shape[1]
+            scale = hd ** -0.5
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", qh * scale, k_cache,
+                preferred_element_type=jnp.float32,
+            )
+            mask = jnp.arange(S)[None, None, None, :] <= t
+            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+            attn = jax.nn.softmax(logits, axis=-1).astype(qh.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_cache).reshape(
+                B, T, self.d_model
+            )
+            return proj("proj_o", self.gain)(out), (k_cache, v_cache)
 
         mask = None
         if causal:
@@ -268,13 +292,26 @@ class TransformerDecoderBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, enc_out, valid_len=None, deterministic: bool = True):
+    def __call__(self, x, enc_out, valid_len=None, deterministic: bool = True,
+                 cache=None):
         self_attn = MultiHeadAttention(
             self.d_model, self.num_heads, self.dropout, self.gain,
             dtype=self.dtype, name="self_attn",
         )
         ln_self = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")
-        if self.is_first:
+        new_cache = None
+        if cache is not None:
+            if self.is_first:
+                x = ln_self(x)
+                a, new_cache = self_attn(x, x, x, cache=cache,
+                                         deterministic=deterministic)
+                x = x + a
+            else:
+                y = ln_self(x)
+                a, new_cache = self_attn(y, y, y, cache=cache,
+                                         deterministic=deterministic)
+                x = x + a
+        elif self.is_first:
             x = ln_self(x)
             x = x + self_attn(x, x, x, causal=True, valid_len=valid_len,
                               deterministic=deterministic)
@@ -291,6 +328,8 @@ class TransformerDecoderBlock(nn.Module):
         y = FFN(self.d_model, self.dropout, self.gain, dtype=self.dtype, name="ffn")(
             y, deterministic=deterministic
         )
+        if cache is not None:
+            return x + y, new_cache
         return x + y
 
 
@@ -305,14 +344,27 @@ class TransformerDecoder(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, enc_out, valid_len=None, deterministic: bool = True):
+    def __call__(self, x, enc_out, valid_len=None, deterministic: bool = True,
+                 caches=None, t=None):
         gain = (3 * self.num_blocks) ** -0.5 if self.num_blocks > 0 else 1.0
+        new_caches = []
         for i in range(self.num_blocks):
-            x = TransformerDecoderBlock(
+            blk = TransformerDecoderBlock(
                 self.d_model, self.num_heads, self.dropout, gain,
                 is_first=(i == 0), dtype=self.dtype, name=f"blocks_{i}",
-            )(x, enc_out, valid_len=valid_len, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+            )
+            if caches is not None:
+                k_c, v_c = caches[i]
+                x, nc = blk(x, enc_out, deterministic=deterministic,
+                            cache=(k_c, v_c, t))
+                new_caches.append(nc)
+            else:
+                x = blk(x, enc_out, valid_len=valid_len,
+                        deterministic=deterministic)
+        out = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        if caches is not None:
+            return out, tuple(new_caches)
+        return out
 
 
 def gumbel_softmax(rng, logits, tau: float, hard: bool, axis: int = -1):

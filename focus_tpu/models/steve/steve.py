@@ -48,21 +48,27 @@ class CartesianPositionalEmbedding(nn.Module):
 
 
 class LearnedPositionalEmbedding1D(nn.Module):
-    """(reference steve.py:108-122)"""
+    """(reference steve.py:108-122). ``at`` adds the embedding of one
+    traced position (KV-cached autoregressive decode)."""
 
     num_inputs: int
     input_size: int
     dropout: float = 0.1
 
-    @nn.compact
-    def __call__(self, x, offset: int = 0, deterministic: bool = True):
-        pe = self.param(
+    def setup(self):
+        self.pe = self.param(
             "pe", trunc_normal, (1, self.num_inputs, self.input_size)
         )
+        self._drop = nn.Dropout(self.dropout)
+
+    def at(self, x_t, t):
+        return x_t + jax.lax.dynamic_slice_in_dim(self.pe, t, 1, axis=1)
+
+    def __call__(self, x, offset: int = 0, deterministic: bool = True):
         T = x.shape[1]
-        x = x + pe[:, offset : offset + T]
+        x = x + self.pe[:, offset : offset + T]
         if self.dropout > 0.0 and not deterministic:
-            x = nn.Dropout(self.dropout, deterministic=False)(x)
+            x = self._drop(x, deterministic=False)
         return x
 
 
@@ -285,18 +291,67 @@ class STEVE(nn.Module):
         attns_vis = video[:, :, None] * attns + (1.0 - attns)
         return slots, attns_vis, attns
 
-    def decode(self, slots):
+    def decode(self, slots, use_kv_cache: bool = True):
         """Autoregressive token rollout -> pixels (reference steve.py:359-381).
 
-        Fixed-shape scan: the token-embedding buffer is preallocated at
-        [B, 1+gen_len, d]; step t attends to positions <= t via valid_len
-        masking, so the whole rollout compiles once.
+        KV-cached fixed-shape scan: step t runs the decoder on ONE token,
+        attending over per-layer key/value caches updated in the scan
+        carry — O(L^2) total attention work instead of the full-buffer
+        re-decode's O(L^3) (the reference recomputes the whole prefix
+        every step too; caching is free accuracy-wise because argmax
+        sampling is deterministic). ``use_kv_cache=False`` keeps the
+        full-buffer path as the parity oracle.
         """
         B = slots.shape[0]
         h_enc = w_enc = self.image_size // 4
         gen_len = h_enc * w_enc
 
         slots = self.steve_encoder.slot_proj(slots)
+        if use_kv_cache:
+            z_ids = self._decode_ids_cached(slots, gen_len)  # [gen_len, B]
+        else:
+            z_ids = self._decode_ids_full(slots, gen_len)
+        z_one_hot = jax.nn.one_hot(z_ids.T, self.vocab_size)  # [B, gen_len, V]
+        z_grid = z_one_hot.reshape(B, h_enc, w_enc, self.vocab_size)
+        return jnp.clip(self.dvae.decoder(z_grid), 0.0, 1.0)
+
+    def _decode_ids_cached(self, slots, gen_len):
+        B = slots.shape[0]
+        d = self.d_model
+        nb = self.steve_decoder.tf.num_blocks
+        h = self.steve_decoder.tf.num_heads
+        hd = d // h
+        L = 1 + gen_len
+        bos = jnp.broadcast_to(
+            self.steve_decoder.bos.astype(slots.dtype), (B, 1, d)
+        )
+        caches = tuple(
+            (jnp.zeros((B, L, h, hd), slots.dtype),
+             jnp.zeros((B, L, h, hd), slots.dtype))
+            for _ in range(nb)
+        )
+
+        def step(mdl, carry, t):
+            x_t, caches = carry
+            x = mdl.steve_decoder.pos.at(x_t, t)
+            out, caches = mdl.steve_decoder.tf(x, slots, caches=caches, t=t)
+            logits = mdl.steve_decoder.head(out)
+            z_id = jnp.argmax(logits, axis=-1)  # [B, 1]
+            emb = mdl.steve_decoder.dict_emb(z_id).astype(x_t.dtype)
+            return (emb, caches), z_id[:, 0]
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        _, z_ids = scan(self, (bos, caches), jnp.arange(gen_len))
+        return z_ids  # [gen_len, B]
+
+    def _decode_ids_full(self, slots, gen_len):
+        B = slots.shape[0]
         buf = jnp.zeros((B, 1 + gen_len, self.d_model), slots.dtype)
         bos = jnp.broadcast_to(
             self.steve_decoder.bos.astype(buf.dtype), (B, 1, self.d_model)
@@ -321,14 +376,15 @@ class STEVE(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        _, z_ids = scan(self, buf, jnp.arange(gen_len))  # [gen_len, B]
-        z_one_hot = jax.nn.one_hot(z_ids.T, self.vocab_size)  # [B, gen_len, V]
-        z_grid = z_one_hot.reshape(B, h_enc, w_enc, self.vocab_size)
-        return jnp.clip(self.dvae.decoder(z_grid), 0.0, 1.0)
+        _, z_ids = scan(self, buf, jnp.arange(gen_len))
+        return z_ids
 
-    def reconstruct_autoregressive(self, video):
+    def reconstruct_autoregressive(self, video, use_kv_cache: bool = True):
         """(reference steve.py:383-392)"""
         B, T, H, W, C = video.shape
         slots, _, _ = self.encode(video)
-        recon = self.decode(slots.reshape(B * T, self.num_slots, -1))
+        recon = self.decode(
+            slots.reshape(B * T, self.num_slots, -1),
+            use_kv_cache=use_kv_cache,
+        )
         return recon.reshape(B, T, H, W, C)

@@ -125,3 +125,18 @@ def test_ari_perfect_and_random():
     pred = np.zeros_like(true)
     pred[:, 0] = 1.0
     assert abs(evaluate_ari(true, pred)) < 0.05
+
+
+def test_kv_cached_decode_matches_full(steve_setup):
+    """The KV-cached AR rollout must reproduce the full-buffer re-decode
+    exactly (argmax sampling; same positions/masks, only op order moves)."""
+    cfg, model, video, variables = steve_setup
+    rs = np.random.RandomState(3)
+    slots = jnp.asarray(
+        rs.rand(4, cfg.SLOTS.NUM_SLOTS, cfg.SLOTS.SIZE), jnp.float32
+    )
+    full = model.apply(variables, slots, method="decode", use_kv_cache=False)
+    cached = model.apply(variables, slots, method="decode", use_kv_cache=True)
+    np.testing.assert_allclose(
+        np.asarray(cached), np.asarray(full), atol=1e-5
+    )
