@@ -483,11 +483,12 @@ def fused_trajectory_core(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
 
 
 def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
-    # under grad, the kernel compiles with extra layout constraints that
-    # push bq=256 past the VMEM limit — use the smaller block for training
+    # v4's 100M vmem budget fits bq=256 under grad too (the v3 kernel
+    # needed 128 here)
     fwd = _fused_fwd_pallas_v4 if FWD_USE_V4 else _fused_fwd_pallas
+    bq = 256 if FWD_USE_V4 else 128
     out = fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-              block_q=128, interpret=interpret)
+              block_q=bq, interpret=interpret)
     return out, (q, kf, vf, wq2, bq2, wk2, bk2)
 
 
