@@ -155,6 +155,11 @@ class Ava:
         )
         H, W = frames.shape[1:3]
         boxes = np.array([e[0] for e in entries], np.float32)  # normalised
+        # evaluator-space boxes are captured BEFORE any preprocessing
+        # (reference ava_dataset.py keeps ori_boxes in original-frame
+        # normalised coordinates — the official GT CSV's space; post-crop
+        # coordinates would make every IoU against the CSV wrong)
+        ori_norm = np.clip(boxes.copy(), 0.0, 1.0)
         boxes[:, [0, 2]] *= W
         boxes[:, [1, 3]] *= H
 
@@ -242,10 +247,9 @@ class Ava:
         padded[:n] = boxes[:n]
         padded_labels[:n] = labels[:n]
         mask[:n] = 1.0
-        # normalised ori boxes for the evaluator
-        ori = padded.copy()
-        ori[:, [0, 2]] /= w
-        ori[:, [1, 3]] /= h
+        # original-frame normalised boxes for the evaluator
+        ori = np.zeros((MAX_BOXES, 4), np.float32)
+        ori[:n] = ori_norm[:n]
         metadata = {
             "boxes": padded,
             "boxes_mask": mask,

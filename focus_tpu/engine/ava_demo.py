@@ -140,8 +140,10 @@ class AVAVisualizerWithPrecomputedBox:
             boxes, _ = self.pred_boxes[keyframe_idx]
             clip = self._read_clip(keyframe_idx)
             h, w = clip.shape[1:3]
+            # _read_clip's get_sequence already strides by SAMPLING_RATE,
+            # so the clip is NUM_FRAMES long here — no second subsample
             clip = data_utils.tensor_normalize(
-                clip[:: cfg.DATA.SAMPLING_RATE], cfg.DATA.MEAN, cfg.DATA.STD
+                clip, cfg.DATA.MEAN, cfg.DATA.STD
             )
             pathways = data_utils.pack_pathway_output(cfg, clip)
             video = (

@@ -50,20 +50,6 @@ class VideoReader:
         self.cap.release()
 
 
-def draw_predictions(frame, labels_scores, class_names):
-    import cv2
-
-    y = 20
-    for label, score in labels_scores:
-        name = class_names.get(str(label), str(label)) if class_names else str(label)
-        cv2.putText(
-            frame, f"{name}: {score:.2f}", (5, y),
-            cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1,
-        )
-        y += 18
-    return frame
-
-
 def demo(cfg):
     """(reference demo_net.py:96-119)"""
     if cfg.DETECTION.ENABLE and cfg.DEMO.PREDS_BOXES != "":

@@ -43,14 +43,22 @@ def _to_host(array):
     return np.asarray(multihost_utils.process_allgather(array, tiled=True))
 
 
-def perform_test_detection(test_loader, state, eval_step, test_meter, cfg):
-    """AVA detection testing (reference test_net.py:57-79): buffer
-    per-keyframe box scores + normalised boxes and evaluate frame-mAP
-    under the official protocol."""
-    names = test_meter.video_idx_to_name or []
-    for cur_iter, batch in enumerate(test_loader):
-        video, labels, _, metadata = _split_test_batch(batch)
-        test_meter.iter_tic()
+def run_detection_eval(loader, state, eval_step, meter, cur_epoch=None):
+    """Shared AVA detection eval loop (reference test_net.py:57-79 /
+    train_net.py:330-380): buffer per-keyframe box scores + original-
+    frame normalised boxes, frame-mAP under the official protocol at
+    the end. Used by both the trainer's val epoch and the tester.
+
+    Final-batch pad duplicates (the loader's index==-1 sentinel) are
+    dropped before buffering — a duplicated detection of a matched box
+    counts as a false positive in the greedy matcher, so without the
+    filter the reported mAP would depend on batch size."""
+    from focus_tpu.utils.ava_eval import make_image_key
+
+    names = meter.video_idx_to_name or []
+    for cur_iter, batch in enumerate(loader):
+        video, labels, sample_idx, metadata = _split_test_batch(batch)
+        meter.iter_tic()
         preds = eval_step(state, video, metadata)
         preds = preds[0] if isinstance(preds, tuple) else preds
         preds_h = _to_host(preds)
@@ -59,8 +67,10 @@ def perform_test_detection(test_loader, state, eval_step, test_meter, cfg):
         vidx_h = _to_host(metadata["video_idx"])
         sec_h = _to_host(metadata["sec"])
         labels_h = _to_host(labels)
-        from focus_tpu.utils.ava_eval import make_image_key
-
+        if sample_idx is not None:
+            keep = _to_host(sample_idx) >= 0
+            preds_h, masks_h, ori_h = preds_h[keep], masks_h[keep], ori_h[keep]
+            vidx_h, sec_h, labels_h = vidx_h[keep], sec_h[keep], labels_h[keep]
         keys = [
             make_image_key(
                 names[int(v)] if int(v) < len(names) else str(int(v)),
@@ -68,10 +78,15 @@ def perform_test_detection(test_loader, state, eval_step, test_meter, cfg):
             )
             for v, s in zip(vidx_h, sec_h)
         ]
-        test_meter.update_stats(preds_h, ori_h, masks_h, keys, labels_h)
-        test_meter.iter_toc()
-        test_meter.log_iter_stats(None, cur_iter)
-    return test_meter.finalize_metrics()
+        meter.update_stats(preds_h, ori_h, masks_h, keys, labels_h)
+        meter.iter_toc()
+        meter.log_iter_stats(cur_epoch, cur_iter)
+    return meter.finalize_metrics()
+
+
+def perform_test_detection(test_loader, state, eval_step, test_meter, cfg):
+    """AVA detection testing: the shared loop above."""
+    return run_detection_eval(test_loader, state, eval_step, test_meter)
 
 
 def perform_test(test_loader, state, eval_step, test_meter, cfg):

@@ -272,33 +272,13 @@ def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
 
 def _eval_epoch_detection(val_loader, state, eval_step, val_meter, cur_epoch,
                           cfg):
-    """AVA detection validation (reference train_net.py:330-380): buffer
-    box scores per keyframe, frame-mAP at epoch end."""
-    from focus_tpu.utils.ava_eval import make_image_key
+    """AVA detection validation (reference train_net.py:330-380): the
+    shared loop in engine/tester.py (pad-duplicate filtering included)."""
+    from focus_tpu.engine.tester import run_detection_eval
 
     val_meter.reset()
-    names = val_meter.video_idx_to_name or []
-    for cur_iter, batch in enumerate(val_loader):
-        video, labels, metadata = _split_batch(batch)
-        preds = eval_step(state, video, metadata)
-        preds = preds[0] if isinstance(preds, tuple) else preds
-        preds_h = np.asarray(jax.device_get(preds))
-        masks_h = np.asarray(jax.device_get(metadata["boxes_mask"]))
-        ori_h = np.asarray(jax.device_get(metadata["ori_boxes"]))
-        vidx_h = np.asarray(jax.device_get(metadata["video_idx"]))
-        sec_h = np.asarray(jax.device_get(metadata["sec"]))
-        keys = [
-            make_image_key(
-                names[int(v)] if int(v) < len(names) else str(int(v)), int(s)
-            )
-            for v, s in zip(vidx_h, sec_h)
-        ]
-        val_meter.update_stats(
-            preds_h, ori_h, masks_h, keys,
-            np.asarray(jax.device_get(labels)),
-        )
-        val_meter.log_iter_stats(cur_epoch, cur_iter)
-    val_meter.finalize_metrics()
+    run_detection_eval(val_loader, state, eval_step, val_meter,
+                       cur_epoch=cur_epoch)
 
 
 def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, writer=None):

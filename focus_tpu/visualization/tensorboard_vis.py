@@ -22,13 +22,19 @@ def get_confusion_matrix(preds, labels, num_classes):
     """Row-normalised confusion matrix from prediction scores
     (reference visualization/utils.py get_confusion_matrix).
 
-    preds: [N, num_classes] scores; labels: [N] ints. Returns
-    [num_classes, num_classes] with rows summing to 1 (or 0)."""
+    preds: [N, num_classes] scores; labels: [N] ints, or [N, num_classes]
+    multi-hot (Charades-style MULTI_LABEL datasets — each positive class
+    contributes one row count). Returns [num_classes, num_classes] with
+    rows summing to 1 (or 0)."""
     preds = np.asarray(preds)
-    labels = np.asarray(labels).astype(int)
+    labels = np.asarray(labels)
     top = preds.argmax(axis=-1)
     cmtx = np.zeros((num_classes, num_classes), np.float64)
-    np.add.at(cmtx, (labels, top), 1.0)
+    if labels.ndim == 2:
+        rows, cols = np.nonzero(labels)
+        np.add.at(cmtx, (cols, top[rows]), 1.0)
+    else:
+        np.add.at(cmtx, (labels.astype(int), top), 1.0)
     row = cmtx.sum(axis=1, keepdims=True)
     return np.divide(cmtx, row, out=np.zeros_like(cmtx), where=row > 0)
 
