@@ -117,6 +117,7 @@ class Ava:
                 paths,
                 cache_dir=os.path.join(cfg.AVA.ANNOTATION_DIR,
                                        "linked_boxes"),
+                is_gt=is_train,
             )
         name_list = sorted(
             self._video_idx_to_name, key=self._video_idx_to_name.get
@@ -272,8 +273,15 @@ class Ava:
         vid = self._video_idx_to_name[video_idx]
         vboxes = self.orvit_boxes.get(vid, {})
         # the linked dict is keyed on the keyframe grid (whole seconds);
-        # snap each clip frame to its keyframe (reference round_frame)
-        keys = [int(round(f / AVA_FPS)) * AVA_FPS for f in seq]
+        # snap each clip frame to its keyframe, clamped to the valid AVA
+        # keyframe range [2s, 898s] so frames near the video start/end
+        # map to real keys instead of silently yielding no boxes
+        # (reference round_frame, ava_dataset.py:541-548: MINF/MAXF)
+        minf, maxf = 2 * AVA_FPS, 898 * AVA_FPS
+        keys = [
+            min(max(int(round(f / AVA_FPS)) * AVA_FPS, minf), maxf)
+            for f in seq
+        ]
         rows = [np.asarray(vboxes.get(k, np.empty((0, 5)))) for k in keys]
         global2local: dict = {}
 

@@ -161,9 +161,21 @@ class AVAVisualizerWithPrecomputedBox:
             mask = np.zeros((1, MAX_BOXES), np.float32)
             mask[0, :n] = 1.0
 
+            # multi-pathway models (SlowFast) carry a tuple of
+            # differently-shaped pathway arrays — convert each leaf
+            def as_np(v):
+                if isinstance(v, tuple):
+                    return tuple(np.asarray(p) for p in v)
+                return np.asarray(v)
+
+            def as_jnp(v):
+                if isinstance(v, tuple):
+                    return tuple(jnp.asarray(p) for p in v)
+                return jnp.asarray(v)
+
             if state is None:
                 meta = {"boxes": padded, "boxes_mask": mask}
-                batch = (np.asarray(video), np.zeros(1, np.int32),
+                batch = (as_np(video), np.zeros(1, np.int32),
                          np.zeros(1, np.int32), meta)
                 state = build_supervised_state(cfg, model, mesh, batch, 1)
                 state = cu.load_test_checkpoint(cfg, state)
@@ -175,7 +187,7 @@ class AVAVisualizerWithPrecomputedBox:
                         variables["batch_stats"] = st.batch_stats
                     return model.apply(variables, x, {}, bx, train=False)
 
-            preds = predict(state, jnp.asarray(video), jnp.asarray(padded))
+            preds = predict(state, as_jnp(video), jnp.asarray(padded))
             preds = np.asarray(jax.device_get(preds))[0, :n]
             self.pred_boxes[keyframe_idx][1] = preds
         logger.info("Finished making predictions.")

@@ -31,10 +31,6 @@ def build_model(cfg):
     model_cls = MODEL_REGISTRY.get(name)
     if isinstance(cfg, CfgNode):
         cfg = StaticCfg(cfg)
-    # gelu selector is read at trace time by every Mlp (see motionformer)
-    from focus_tpu.models import motionformer as _mf
-
-    _mf.FAST_GELU = bool(getattr(cfg.TPU, "FAST_GELU", False))
     return model_cls(cfg=cfg, dtype=compute_dtype(cfg))
 
 

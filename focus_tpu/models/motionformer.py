@@ -22,18 +22,18 @@ from focus_tpu.ops import attention as attn_ops
 
 trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
-# process-wide gelu selector, set from cfg.TPU.FAST_GELU by build_model:
-# the tanh approximation trades ~1e-4 absolute output delta for a much
-# cheaper VPU path than the exact erf gelu (the reference's torch GELU)
-FAST_GELU = False
-
-
 class Mlp(nn.Module):
-    """ViT MLP (reference ORViT/utils.py:79-98)."""
+    """ViT MLP (reference ORViT/utils.py:79-98).
+
+    ``fast_gelu`` (cfg.TPU.FAST_GELU, threaded per-model through the
+    block fields) selects the tanh gelu approximation: ~1e-4 absolute
+    output delta for a much cheaper VPU path than the exact erf gelu
+    (the reference's torch GELU)."""
 
     hidden_features: int
     out_features: Optional[int] = None
     drop: float = 0.0
+    fast_gelu: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -41,7 +41,7 @@ class Mlp(nn.Module):
         out_dim = self.out_features or x.shape[-1]
         x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_02,
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=FAST_GELU)
+        x = nn.gelu(x, approximate=self.fast_gelu)
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(self.drop, deterministic=False)(x)
         x = nn.Dense(out_dim, kernel_init=trunc_normal_02, dtype=self.dtype,
@@ -267,6 +267,7 @@ class TrajectoryAttentionBlock(nn.Module):
     drop_path_rate: float = 0.0
     use_original_code: bool = True
     use_pallas: bool = False
+    fast_gelu: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -282,8 +283,8 @@ class TrajectoryAttentionBlock(nn.Module):
         dp = DropPath(self.drop_path_rate, name="drop_path")
         x = x + dp(y, deterministic=deterministic)
         y = Mlp(
-            int(self.dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
-            name="mlp",
+            int(self.dim * self.mlp_ratio), drop=self.drop,
+            fast_gelu=self.fast_gelu, dtype=self.dtype, name="mlp",
         )(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,
@@ -307,6 +308,7 @@ class _TrajBlockScanBody(nn.Module):
     deterministic: bool
     use_original_code: bool = True
     use_pallas: bool = False
+    fast_gelu: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -322,7 +324,7 @@ class _TrajBlockScanBody(nn.Module):
         dp = DropPath(name="drop_path")
         x = x + dp(y, deterministic=self.deterministic, rate=dpr_i)
         y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
-                dtype=self.dtype, name="mlp")(
+                fast_gelu=self.fast_gelu, dtype=self.dtype, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=self.deterministic,
         )
@@ -347,6 +349,7 @@ class ScannedTrajBlocks(nn.Module):
     dpr: Any = ()  # per-layer stochastic-depth rates, length == length
     use_original_code: bool = True
     use_pallas: bool = False
+    fast_gelu: bool = False
     remat: bool = False
     dtype: Any = None
 
@@ -375,7 +378,8 @@ class ScannedTrajBlocks(nn.Module):
             drop=self.drop, attn_drop=self.attn_drop, thw=tuple(thw),
             deterministic=deterministic,
             use_original_code=self.use_original_code,
-            use_pallas=self.use_pallas, dtype=self.dtype, name="body",
+            use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            dtype=self.dtype, name="body",
         )(x, dpr)
         return x, thw
 
@@ -417,6 +421,7 @@ class SelfAttentionBlock(nn.Module):
     qkv_bias: bool = False
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    fast_gelu: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -429,7 +434,7 @@ class SelfAttentionBlock(nn.Module):
         dp = DropPath(self.drop_path_rate, name="drop_path")
         x = x + dp(y, deterministic=deterministic)
         y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop_rate,
-                dtype=self.dtype, name="mlp")(
+                fast_gelu=self.fast_gelu, dtype=self.dtype, name="mlp")(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,
         )
@@ -571,13 +576,15 @@ class Motionformer(nn.Module):
                 name=f"blocks_{i}",
             )
 
+        fast_gelu = bool(getattr(c.TPU, "FAST_GELU", False))
+
         def make_traj(i):
             return TrajectoryAttentionBlock(
                 dim=self.embed_dim, num_heads=c.MF.NUM_HEADS,
                 mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
                 drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
                 drop_path_rate=dpr[i], use_pallas=bool(c.TPU.USE_PALLAS),
-                dtype=self.dtype, name=f"blocks_{i}",
+                fast_gelu=fast_gelu, dtype=self.dtype, name=f"blocks_{i}",
             )
 
         blocks = []
@@ -601,6 +608,7 @@ class Motionformer(nn.Module):
                         qkv_bias=c.MF.QKV_BIAS, drop=c.MF.DROP,
                         attn_drop=c.MF.ATTN_DROPOUT, dpr=tuple(dpr[i:j]),
                         use_pallas=bool(c.TPU.USE_PALLAS),
+                        fast_gelu=fast_gelu,
                         remat=bool(getattr(c.TPU, "REMAT", False)),
                         dtype=self.dtype,
                         name=f"blocks_{i}_{j - 1}",

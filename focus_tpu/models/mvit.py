@@ -173,6 +173,7 @@ class MultiScaleBlock(nn.Module):
     stride_kv: Tuple[int, ...] = ()
     mode: str = "conv"
     has_cls_embed: bool = True
+    fast_gelu: bool = False
     pool_first: bool = False
     dtype: Any = None
 
@@ -214,7 +215,8 @@ class MultiScaleBlock(nn.Module):
         x_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x_mlp = Mlp(
             int(self.dim * self.mlp_ratio), out_features=self.dim_out,
-            drop=self.drop_rate, dtype=self.dtype, name="mlp",
+            drop=self.drop_rate, fast_gelu=self.fast_gelu,
+            dtype=self.dtype, name="mlp",
         )(x_norm, deterministic=deterministic)
         if self.dim != self.dim_out:
             x = nn.Dense(self.dim_out, kernel_init=trunc_normal_02,
@@ -390,7 +392,9 @@ class MViT(nn.Module):
                     kernel_q=tuple(pool_q[i]), kernel_kv=tuple(pool_kv[i]),
                     stride_q=tuple(stride_q[i]), stride_kv=tuple(stride_kv[i]),
                     mode=c.MVIT.MODE, has_cls_embed=cls_on,
-                    pool_first=c.MVIT.POOL_FIRST, dtype=self.dtype,
+                    pool_first=c.MVIT.POOL_FIRST,
+                    fast_gelu=bool(getattr(c.TPU, "FAST_GELU", False)),
+                    dtype=self.dtype,
                     name=f"blocks_{i}",
                 )(x_prev, metadata, thw_prev, deterministic=not train)
             if i in c.ORVIT.ADD_LAYERS:

@@ -116,7 +116,9 @@ class MotionStream(nn.Module):
         flat, _ = SelfAttentionBlock(
             dim=in_dim, num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-            drop_rate=self.attn_drop, dtype=self.dtype, name="attn",
+            drop_rate=self.attn_drop,
+            fast_gelu=bool(getattr(self.cfg.TPU, "FAST_GELU", False)),
+            dtype=self.dtype, name="attn",
         )(flat, deterministic=deterministic)
         box_emb = flat.reshape(BS, T, O, in_dim)
 
@@ -202,7 +204,9 @@ class ORViTBlock(nn.Module):
             )(box_tensors, H, W, deterministic=deterministic)
             motion = Mlp(
                 int(self.dim * self.mlp_ratio), out_features=self.dim,
-                drop=self.drop, dtype=self.dtype, name="motion_mlp",
+                drop=self.drop,
+                fast_gelu=bool(getattr(c.TPU, "FAST_GELU", False)),
+                dtype=self.dtype, name="motion_mlp",
             )(motion, deterministic=deterministic)
             patch_out = patch_out + motion
 
@@ -211,6 +215,7 @@ class ORViTBlock(nn.Module):
         dp = DropPath(self.drop_path_rate, name="drop_path")
         x = x + dp(patch_out, deterministic=deterministic)
         y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
+                fast_gelu=bool(getattr(c.TPU, "FAST_GELU", False)),
                 dtype=self.dtype, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,

@@ -48,9 +48,9 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
       ``exp2(min(logits * scale * log2e, 110))`` (post-LN logits are far
       below the 2^110 overflow guard); the normalising division moves
       from the [BQ, N] weight matrix to the [BQ, hd] PV output, and
-      padded key columns need no mask pass (padded k/v rows are zero, so
-      each pad column contributes exactly exp2(0)=1 to the sum and
-      nothing to PV — the sum is corrected by the constant pad count).
+      padded key columns need no mask pass (padded k/v rows are zero so
+      pads contribute nothing to PV; the normalising sum reduces the
+      valid column slice only).
     - ``inline_diag``: the diagonal (own-frame) aggregate is collected
       while frames stream (a masked select only on the frames that
       intersect the query block) instead of an F-pass selection loop in
@@ -69,7 +69,6 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
     qi = pl.program_id(1)
     fi = pl.program_id(2)
     c = scale * _LOG2E
-    pad_count = float(n_pad - n_valid)
 
     tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
     fq = tok // n_valid  # each query's own frame
@@ -89,7 +88,16 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
         )  # [BQ, N_pad]
         if nomax:
             p = jnp.exp2(jnp.minimum(logits * c, 110.0))
-            s = jnp.sum(p, axis=-1, keepdims=True) - pad_count
+            # normalise over the VALID columns only: summing the whole row
+            # and subtracting the constant pad contribution (pads are
+            # exp2(0)=1) cancels catastrophically when every valid logit is
+            # strongly negative (valid mass below ulp(pad_count) -> s ~ 0
+            # -> inf/NaN). A column slice needs no mask pass and has no
+            # cancellation; the floor guards full underflow (all valid
+            # logits*scale < -87 nats -> degrades to zeros, not NaN).
+            s = jnp.maximum(
+                jnp.sum(p[:, :n_valid], axis=-1, keepdims=True), 1e-30
+            )
             o = jax.lax.dot_general(
                 p.astype(v_ref.dtype), v_ref[0, 0, :, sl],
                 (((1,), (0,)), ((), ())),
@@ -240,7 +248,6 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
     n_pad = k_ref.shape[1] // f
     qi = pl.program_id(1)
     c = scale * _LOG2E
-    pad_count = float(n_pad - n_valid)
 
     tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
     fq = tok // n_valid
@@ -256,7 +263,10 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
         p = jnp.exp2(jnp.minimum(logits * c, 110.0))
         for fi in range(f):
             pf = p[:, fi * n_pad:(fi + 1) * n_pad]
-            s = jnp.sum(pf, axis=-1, keepdims=True) - pad_count
+            # valid-column slice-sum: no pad-count cancellation (see v3)
+            s = jnp.maximum(
+                jnp.sum(pf[:, :n_valid], axis=-1, keepdims=True), 1e-30
+            )
             o = jax.lax.dot_general(
                 pf.astype(v_ref.dtype),
                 v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
@@ -523,7 +533,6 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
     b = pl.program_id(0)
     qi = pl.program_id(1)
     c = scale * _LOG2E
-    pad_count = float(n_pad - n_valid)
     f32 = jnp.float32
 
     tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
@@ -556,7 +565,10 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
         pu = jnp.exp2(jnp.minimum(logits * c, 110.0))
         for fi in range(f):
             puf = pu[:, fi * n_pad:(fi + 1) * n_pad]
-            ssum = jnp.sum(puf, axis=-1, keepdims=True) - pad_count
+            # valid-column slice-sum, matching the forward (see v3 kernel)
+            ssum = jnp.maximum(
+                jnp.sum(puf[:, :n_valid], axis=-1, keepdims=True), 1e-30
+            )
             a = (puf / ssum).astype(a_ref.dtype)
             a_ref[fi, hi] = a
             xs_ref[fi, :, sl] = jax.lax.dot_general(

@@ -184,17 +184,32 @@ def gen_ava_boxes_dict(
 
 
 def get_ava_boxes(
-    csv_paths: Sequence[str], cache_dir: str = "run_files/linked_boxes"
+    csv_paths: Sequence[str],
+    cache_dir: str = "run_files/linked_boxes",
+    is_gt: bool = True,
 ) -> Dict[str, Dict[int, np.ndarray]]:
     """Link AVA person boxes over the keyframe grid and cache the result
-    (reference ava.py:80-97). Regenerates only when the cache is absent."""
+    (reference ava.py:80-97).
+
+    ``is_gt`` must come from the caller (which cfg list the paths came
+    from) — GT rows carry person_id in column 7, detections a score.
+    The cache key includes each CSV's mtime+size, so edited inputs
+    regenerate instead of silently reusing a stale cache."""
+    import hashlib
+
     if isinstance(csv_paths, str):
         csv_paths = [csv_paths]
-    name = "_".join(p.replace("/", "__") for p in sorted(csv_paths))
+    fp = hashlib.sha1()
+    for p in sorted(csv_paths):
+        st = os.stat(p)
+        fp.update(f"{p}:{st.st_mtime_ns}:{st.st_size}:{is_gt}".encode())
+    name = (
+        "_".join(os.path.basename(p) for p in sorted(csv_paths))
+        + "." + fp.hexdigest()[:12]
+    )
     os.makedirs(cache_dir, exist_ok=True)
     out_path = os.path.join(cache_dir, name)
     if not os.path.exists(out_path):
-        is_gt = all("detect" not in p for p in csv_paths)
         logger.info(f"generating linked AVA boxes -> {out_path}")
         dboxes = gen_ava_boxes_dict(csv_paths, is_gt)
         linked = {

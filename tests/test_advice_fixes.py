@@ -105,3 +105,32 @@ def test_attn_drop_is_applied_in_training():
         rngs={"dropout": jax.random.PRNGKey(2)},
     )
     assert not np.allclose(np.asarray(det), np.asarray(drop))
+
+
+def test_fast_gelu_is_per_model_not_global():
+    """Round-2 advice: cfg.TPU.FAST_GELU must be a per-model field — a
+    second model built with a different setting must not change the gelu
+    of a previously built model on re-trace."""
+    from tests.test_motionformer import make_inputs, mf_cfg
+    from focus_tpu.models.build import build_model, init_model
+
+    cfg_exact = mf_cfg()
+    cfg_fast = mf_cfg()
+    cfg_fast.TPU.FAST_GELU = True
+
+    m_exact = build_model(cfg_exact)
+    x, metadata = make_inputs(cfg_exact)
+    var = init_model(m_exact, cfg_exact, (x, metadata))
+    before = np.asarray(m_exact.apply(var, x, metadata))
+
+    m_fast = build_model(cfg_fast)
+    fast_out = np.asarray(m_fast.apply(var, x, metadata))
+    # tanh gelu numerics differ from exact erf (tiny post-softmax, but
+    # the bit pattern must change if the flag is honoured)...
+    assert not np.array_equal(fast_out, before)
+    # ...and re-tracing the first model after building the second must
+    # reproduce its original (exact-erf) output bit-for-bit
+    after = np.asarray(
+        jax.jit(lambda v, a, md: m_exact.apply(v, a, md))(var, x, metadata)
+    )
+    np.testing.assert_array_equal(after, before)

@@ -237,3 +237,33 @@ def test_kinetics_aug_recipe_path(tmp_path):
     batch = next(iter(loader))
     assert batch[0].shape == (4, 4, 32, 32, 3)
     assert batch[1].shape == (4,)
+
+
+def test_broken_dataset_module_fails_loudly(tmp_path, monkeypatch):
+    """An ImportError raised from inside a focus_tpu dataset module (a
+    genuine bug, e.g. a syntax error in a transitively imported module)
+    must propagate, not silently drop the dataset from the registry."""
+    import importlib
+
+    import pytest as _pytest
+
+    from focus_tpu.datasets import registry_imports as ri
+
+    real_import = importlib.import_module
+
+    def fake_import(name, *a, **k):
+        if name.endswith(".broken_ds"):
+            # simulates ssv2.py importing a broken focus_tpu module
+            raise ImportError(
+                "cannot import name 'x'", name="focus_tpu.datasets.utils"
+            )
+        if name.endswith(".needs_h5py"):
+            raise ImportError("No module named 'h5py'", name="h5py")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(importlib, "import_module", fake_import)
+    # optional third-party dep -> warn and continue
+    ri.import_dataset_modules(("needs_h5py",))
+    # our own module broken -> raise
+    with _pytest.raises(ImportError):
+        ri.import_dataset_modules(("broken_ds",))

@@ -55,6 +55,86 @@ def test_fused_core_grad_matches_xla():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
 
 
+def _extreme_inputs(sign, mag, B=1, F=2, N=12, C=16, heads=4, seed=7):
+    """Inputs whose stage-1 logits are uniformly ~sign*mag nats after the
+    1/sqrt(hd) scale — the peaked / anti-aligned distributions trained
+    models produce, which random-weight parity tests never exercise."""
+    rs = np.random.RandomState(seed)
+    S = F * N
+    hd = C // heads
+    scale = hd ** -0.5
+    # unit-ish directions, then scale q so q.k ~ sign*mag/scale
+    qdir = rs.randn(B, S, C).astype(np.float32)
+    qdir /= np.linalg.norm(qdir, axis=-1, keepdims=True)
+    amp = (mag / scale) ** 0.5
+    q = jnp.asarray(qdir * amp * sign, jnp.float32)
+    kf = jnp.asarray(
+        np.broadcast_to(
+            qdir.reshape(B, F, N, C)[:, :1, :1], (B, F, N, C)
+        ).copy() * amp
+        + rs.randn(B, F, N, C) * 0.01,
+        jnp.float32,
+    )
+    vf = jnp.asarray(rs.randn(B, F, N, C) * 0.2, jnp.float32)
+    wq2 = jnp.asarray(rs.randn(C, C) * 0.1, jnp.float32)
+    bq2 = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    wk2 = jnp.asarray(rs.randn(C, C) * 0.1, jnp.float32)
+    bk2 = jnp.zeros((C,), jnp.float32)
+    return (q, kf, vf, wq2, bq2, wk2, bk2), scale
+
+
+@pytest.mark.parametrize("sign,mag", [(-1.0, 25.0), (-1.0, 60.0), (1.0, 50.0)])
+def test_fused_core_extreme_logits(sign, mag):
+    """Strongly negative valid logits used to cancel against the pad-count
+    correction (s -> 0 -> inf/NaN); strongly positive ones stress the exp2
+    clamp. Both must stay finite and match the max-subtracted XLA path."""
+    from focus_tpu.ops.pallas.trajectory_block import (
+        _xla_reference,
+        fused_trajectory_core,
+    )
+
+    args, scale = _extreme_inputs(sign, mag)
+    heads = 4
+    ref = _xla_reference(*args, scale, heads)
+    out = fused_trajectory_core(*args, scale, heads, True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-4
+    )
+
+
+def test_fused_bwd_extreme_negative_logits():
+    """Backward recompute shares the slice-sum normaliser; gradients must
+    stay finite and match the XLA vjp under anti-aligned q/k."""
+    from focus_tpu.ops.pallas.trajectory_block import (
+        _fused_bwd_pallas,
+        _xla_reference,
+    )
+
+    args, scale = _extreme_inputs(-1.0, 25.0)
+    q, kf, vf, wq2, bq2, wk2, bk2 = args
+    heads = 4
+    dout = jnp.asarray(
+        np.random.RandomState(11).randn(*q.shape), jnp.float32
+    )
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, scale, heads),
+        q, kf, vf, wq2, bq2, wk2, bk2,
+    )
+    gold = vjp(dout)
+    outs = _fused_bwd_pallas(
+        q, kf, vf, wq2, bq2, wk2, dout, scale, heads, block_q=16,
+        interpret=True,
+    )
+    for name, ours, ref in zip(
+        ["dq", "dkf", "dvf", "dwq2", "dbq2", "dwk2"], outs, gold[:6]
+    ):
+        assert np.isfinite(np.asarray(ours)).all(), name
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=2e-3, err_msg=name
+        )
+
+
 def test_fused_bwd_pallas_padded_shapes():
     """Backward kernel with N not 128-aligned and S needing q-padding
     (pads must self-neutralise in every gradient)."""

@@ -86,13 +86,25 @@ def test_ava_csv_link_round_trip(tmp_path):
         rows.append(f"vidA,{sec},{x:.3f},0.30,{x + 0.2:.3f},0.60,12,0.95")
     csv.write_text("\n".join(rows) + "\n")
 
-    linked = gen.get_ava_boxes([str(csv)], cache_dir=str(tmp_path / "cache"))
+    linked = gen.get_ava_boxes(
+        [str(csv)], cache_dir=str(tmp_path / "cache"), is_gt=False
+    )
     assert "vidA" in linked
     fid = (905 - 900) * 30
     assert linked["vidA"][fid].shape[1] == 5
     # cache reload path returns the identical dict
-    again = gen.get_ava_boxes([str(csv)], cache_dir=str(tmp_path / "cache"))
+    again = gen.get_ava_boxes(
+        [str(csv)], cache_dir=str(tmp_path / "cache"), is_gt=False
+    )
     np.testing.assert_allclose(linked["vidA"][fid], again["vidA"][fid])
+    # an edited CSV must regenerate, not reuse the stale cache
+    rows = [r.replace("0.30", "0.35") for r in rows]
+    csv.write_text("\n".join(rows) + "\n")
+    os.utime(csv, ns=(1, 1))
+    fresh = gen.get_ava_boxes(
+        [str(csv)], cache_dir=str(tmp_path / "cache"), is_gt=False
+    )
+    assert not np.allclose(fresh["vidA"][fid], linked["vidA"][fid])
 
 
 def test_ava_dataset_emits_orvit_boxes(tmp_path):
@@ -128,3 +140,37 @@ def test_ava_dataset_emits_orvit_boxes(tmp_path):
     assert (ob >= 0).all() and (ob <= 1.5).all()
     # at least one real track present
     assert np.any(ob != 0)
+
+
+def test_ava_orvit_boxes_clamp_to_keyframe_range(tmp_path):
+    """Frames near the video start snap to key 0, which is absent from
+    the linked dict — the reference round_frame clamps to [60, 26940]
+    (ava_dataset.py:541-548) so they reuse the first real keyframe."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic_data import make_ava_tree
+
+    from focus_tpu.config import get_cfg
+    from focus_tpu.datasets.build import build_dataset
+
+    root = make_ava_tree(str(tmp_path / "ava"))
+    cfg = get_cfg()
+    cfg.AVA.FRAME_DIR = os.path.join(root, "frames")
+    cfg.AVA.FRAME_LIST_DIR = os.path.join(root, "frame_lists")
+    cfg.AVA.ANNOTATION_DIR = os.path.join(root, "annotations")
+    cfg.AVA.TRAIN_LISTS = ["train.csv"]
+    cfg.AVA.TRAIN_GT_BOX_LISTS = ["gt_train.csv"]
+    cfg.AVA.TRAIN_PREDICT_BOX_LISTS = []
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.ORVIT.ENABLE = True
+    cfg.ORVIT.O = 4
+
+    ds = build_dataset("ava", cfg, "train")
+    # seq entirely before the first keyframe second (frame 60)
+    out = ds._get_orvit_boxes(0, [0, 1, 2, 3])
+    assert out.shape == (4, 4, 4)
+    # clamped to key 60 (sec 902), which has a linked track
+    assert np.any(out != 0)

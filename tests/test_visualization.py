@@ -228,3 +228,56 @@ def test_movi_downloader_episode_layout(tmp_path):
         Image.open(str(tmp_path / "masks" / "00000000" / "00000001_mask_00.png"))
     )
     assert set(np.unique(m)) <= {0, 255}
+
+
+def test_ava_demo_predictions_multipathway(tmp_path):
+    """get_predictions must handle tuple (SlowFast) pathways — the
+    reference AVA demo's primary target (round-2 advice)."""
+    cv2 = pytest.importorskip("cv2")
+    from focus_tpu.config import get_cfg
+    from focus_tpu.engine.ava_demo import AVAVisualizerWithPrecomputedBox
+
+    vid = str(tmp_path / "vidZ.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    rs = np.random.RandomState(0)
+    for _ in range(90):
+        w.write(rs.randint(0, 255, (64, 64, 3), np.uint8))
+    w.release()
+    csv = tmp_path / "boxes.csv"
+    csv.write_text("vidZ,901,0.1,0.1,0.6,0.6,2,0.9\n")
+
+    cfg = get_cfg()
+    cfg.NUM_GPUS = 1
+    cfg.DEMO.INPUT_VIDEO = vid
+    cfg.DEMO.PREDS_BOXES = str(csv)
+    cfg.DEMO.STARTING_SECOND = 900
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out.mp4")
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.DETECTION.ENABLE = True
+    cfg.DETECTION.SPATIAL_SCALE_FACTOR = 16
+    cfg.DETECTION.ROI_XFORM_RESOLUTION = 7
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.SLOWFAST.ALPHA = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.NONLOCAL.LOCATION = [[[], []], [[], []], [[], []], [[], []]]
+    cfg.NONLOCAL.GROUP = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.NONLOCAL.POOL = [
+        [[1, 2, 2], [1, 2, 2]], [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]], [[1, 2, 2], [1, 2, 2]],
+    ]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TRAIN.CHECKPOINT_FILE_PATH = ""
+    cfg.TEST.CHECKPOINT_FILE_PATH = ""
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    demo = AVAVisualizerWithPrecomputedBox(cfg)
+    demo.get_predictions()
+    scores = demo.pred_boxes[30][1]
+    assert scores is not None and np.asarray(scores).shape == (1, 5)
+    assert np.isfinite(np.asarray(scores)).all()
