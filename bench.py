@@ -5,6 +5,13 @@ on whatever device JAX gives us (the driver runs this on one real TPU
 chip). Inputs are device-resident so the number is the model roofline;
 the input pipeline is benchmarked separately by tools/benchmark.py.
 
+Measurement hygiene (round-2 verdict #2):
+- weights are RANDOM (plausible init scale) and passed as explicit jit
+  ARGUMENTS, so XLA cannot constant-fold or simplify zero matmuls;
+- the headline number runs exact-erf gelu — the numerics every parity
+  test checks; the tanh-gelu recipe variant (cfg.TPU.FAST_GELU) is
+  measured separately and reported as ``fast_gelu_clips_per_sec``.
+
 ``vs_baseline`` is measured against an estimated 100 clips/s for the
 same model on one A100 (the reference publishes no throughput numbers —
 BASELINE.md; 100 clips/s ~= 370 GFLOPs/clip at ~37 TFLOP/s sustained,
@@ -31,51 +38,76 @@ import numpy as np
 A100_BASELINE_CLIPS_PER_SEC = 100.0
 
 
-def main():
-    from focus_tpu.models.build import build_model
-    import __graft_entry__ as ge
+def random_params_like(shapes_tree, scale=0.02):
+    """Materialise random params on device with one tiny jitted program
+    per UNIQUE (shape, dtype) — per-leaf host transfers are a round trip
+    each through the remote tunnel, and one giant init program blows the
+    relay's program-size limit (BENCH_NOTES round 1)."""
+    makers = {}
+    leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
+    out = []
+    for i, s in enumerate(leaves):
+        key = (tuple(s.shape), str(s.dtype))
+        if key not in makers:
+            makers[key] = jax.jit(
+                lambda k, shape=tuple(s.shape), dtype=s.dtype: (
+                    jax.random.normal(k, shape, jnp.float32) * scale
+                ).astype(dtype)
+            )
+        out.append(makers[key](jax.random.PRNGKey(i)))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
-    cfg = ge._flagship_cfg()
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    # tanh-gelu: measured at VPU-free (fuses into the fc2 matmul like
-    # relu) vs ~0.6 ms/block for exact erf — see BENCH_NOTES round 2
-    cfg.TPU.FAST_GELU = True
+
+def measure(cfg, video, boxes, iters=10):
+    from focus_tpu.models.build import build_model
+
     model = build_model(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            video, {"orvit_bboxes": boxes},
+        )
+    )
+    variables = random_params_like(shapes)
+
+    @jax.jit
+    def eval_step(variables, video, boxes):
+        return model.apply(variables, video, {"orvit_bboxes": boxes})
+
+    # compile + warmup
+    eval_step(variables, video, boxes).block_until_ready()
+    eval_step(variables, video, boxes).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_step(variables, video, boxes)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(out).all()), "non-finite logits in bench run"
+    return video.shape[0] * iters / dt
+
+
+def main():
+    import __graft_entry__ as ge
 
     B = 8
     rs = np.random.RandomState(0)
     video = jnp.asarray(rs.rand(B, 16, 224, 224, 3), jnp.float32)
     boxes = jnp.asarray(rs.rand(B, 8, 4, 4) * 0.5 + 0.25, jnp.float32)
-    metadata = {"orvit_bboxes": boxes}
-    # shape-only init, then materialise ALL params on device in ONE jitted
-    # program: per-param transfers/inits are a round trip each through the
-    # remote tunnel (minutes); bench weights just need plausible scale.
-    shapes = jax.eval_shape(
-        lambda: model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            video, metadata,
-        )
-    )
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes
-    )
 
-    @jax.jit
-    def eval_step(video, boxes):
-        return model.apply(variables, video, {"orvit_bboxes": boxes})
+    # headline: exact-erf gelu — the parity-tested numerics
+    cfg = ge._flagship_cfg()
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.FAST_GELU = False
+    clips_per_sec = measure(cfg, video, boxes)
 
-    # compile + warmup
-    eval_step(video, boxes).block_until_ready()
-    eval_step(video, boxes).block_until_ready()
+    # labeled recipe variant: tanh gelu (fuses into the fc2 matmul at
+    # relu cost; ~1e-4 abs output delta — BENCH_NOTES round 2)
+    cfg_fast = ge._flagship_cfg()
+    cfg_fast.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg_fast.TPU.FAST_GELU = True
+    fast_clips_per_sec = measure(cfg_fast, video, boxes)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eval_step(video, boxes)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    clips_per_sec = B * iters / dt
     print(
         json.dumps(
             {
@@ -83,6 +115,7 @@ def main():
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/s",
                 "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+                "fast_gelu_clips_per_sec": round(fast_clips_per_sec, 2),
             }
         )
     )

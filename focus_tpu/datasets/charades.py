@@ -94,7 +94,10 @@ class Charades:
             else self._spatial_temporal_idx[index] // cfg.TEST.NUM_SPATIAL_CROPS
         )
         num_frames = cfg.DATA.NUM_FRAMES
-        sampling_rate = cfg.DATA.SAMPLING_RATE
+        sampling_rate = data_utils.get_random_sampling_rate(
+            cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE, cfg.DATA.SAMPLING_RATE,
+            rng,
+        )
         video_length = len(self._paths[index])
         clip_length = (num_frames - 1) * sampling_rate + 1
         if temporal_idx == -1:

@@ -86,7 +86,11 @@ class Kinetics:
         for r in range(self._num_retries):
             frames = decoder.decode(
                 self._path_to_videos[index],
-                cfg.DATA.SAMPLING_RATE,
+                data_utils.get_random_sampling_rate(
+                    cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE,
+                    cfg.DATA.SAMPLING_RATE,
+                    rng,
+                ),
                 cfg.DATA.NUM_FRAMES,
                 clip_idx=temporal_idx,
                 num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,

@@ -39,6 +39,16 @@ def get_sequence(center_idx, half_len, sample_rate, num_frames):
     return seq
 
 
+def get_random_sampling_rate(long_cycle_sampling_rate, sampling_rate, rng):
+    """Multigrid long cycles with fewer frames randomly stretch the
+    sampling rate so some clips keep the original span (reference
+    utils.py:338-347)."""
+    if long_cycle_sampling_rate > 0:
+        assert long_cycle_sampling_rate >= sampling_rate
+        return int(rng.randint(sampling_rate, long_cycle_sampling_rate + 1))
+    return sampling_rate
+
+
 def pack_pathway_output(cfg, frames: np.ndarray) -> List[np.ndarray]:
     """Slow/fast pathway split (reference utils.py:75-108).
 

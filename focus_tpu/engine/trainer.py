@@ -339,6 +339,29 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, writer=N
         writer.plot_eval(all_preds, all_labels, global_step=cur_epoch)
 
 
+def _rebuild_for_long_cycle(cfg, mesh, state, cur_epoch):
+    """Multigrid long-cycle shape change (reference train_net.py:653-675):
+    rebuild the model (BN type per the schedule — the redesigned
+    SubBatchNorm keeps the variable tree identical across types, see
+    models/norms.py) and the train loader (new B/T/S + stretched
+    sampling rate), and continue the LR schedule from the current
+    (epoch, step) under the new steps-per-epoch. Params, optimizer
+    momentum and the step counter carry over in place of the reference's
+    checkpoint round-trip; the jitted step recompiles once per new shape
+    (XLA caches by shape — the finite-compiled-shapes design in
+    utils/multigrid.py)."""
+    model = build_model(cfg)
+    data_sh = mesh_lib.batch_sharded(mesh)
+    train_loader = data_loader.construct_loader(cfg, "train", sharding=data_sh)
+    no_wd = ("pos_embed", "cls_token", "temp_embed", "st_embed")
+    tx = optim.construct_optimizer(
+        state.params, cfg, len(train_loader), no_weight_decay_paths=no_wd,
+        epoch_offset=float(cur_epoch), step_offset=int(state.step),
+    )
+    state = state.replace(tx=tx)
+    return model, train_loader, state
+
+
 def train(cfg):
     """Supervised training entry (reference train_net.py:573-747)."""
     mesh_lib.init_distributed(cfg)
@@ -409,6 +432,20 @@ def train(cfg):
     epoch_timer = EpochTimer()
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
+            cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+            if changed:
+                model, train_loader, state = _rebuild_for_long_cycle(
+                    cfg, mesh, state, cur_epoch
+                )
+                state_sharding = mesh_lib.state_shardings(mesh, state)
+                if mesh.shape[mesh_lib.MODEL_AXIS] <= 1:
+                    state_sharding = None
+                train_step = make_supervised_train_step(
+                    model, cfg, mesh, loss_fn, state_sharding=state_sharding
+                )
+                eval_step = make_supervised_eval_step(model, cfg, mesh)
+                train_meter = TrainMeter(len(train_loader), cfg)
         data_loader.shuffle_dataset(train_loader, cur_epoch)
         epoch_timer.epoch_tic()
         state = train_epoch(
@@ -419,10 +456,11 @@ def train(cfg):
         logger.info(
             f"Epoch {cur_epoch} takes {epoch_timer.last_epoch_time():.2f}s."
         )
-        is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch)
-        is_eval = (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0 or (
-            cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
-        )
+        mg_sched = multigrid.schedule if multigrid is not None else None
+        is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch, mg_sched)
+        from focus_tpu.utils.misc import is_eval_epoch
+
+        is_eval = is_eval_epoch(cfg, cur_epoch, mg_sched)
         if (is_checkp or is_eval) and cfg.BN.USE_PRECISE_STATS and (
             state.batch_stats is not None
         ):

@@ -31,11 +31,9 @@ class BatchNorm(nn.Module):
         )(x)
 
 
-class SubBatchNorm(nn.Module):
-    """Per-split training statistics; aggregated stats for eval
-    (reference batchnorm_helper.py:37-109). The affine transform is shared
-    across splits, applied after the split BN (like the reference, which
-    disables affine on the inner BNs)."""
+class _SubBNCore(nn.Module):
+    """Core of SubBatchNorm, named "bn" so the param/stat tree is
+    byte-identical to BatchNorm's."""
 
     num_splits: int
     momentum: float = 0.9
@@ -47,42 +45,69 @@ class SubBatchNorm(nn.Module):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        if train and self.num_splits > 1:
-            B = x.shape[0]
-            s = self.num_splits
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        dtype = self.dtype or x.dtype
+        if train:
+            B, s = x.shape[0], self.num_splits
             assert B % s == 0, (B, s)
-            xs = x.reshape((B // s, s) + x.shape[1:])
-            xs = jnp.moveaxis(xs, 1, -2)  # [B/s, ..., s, C]
-            xs = xs.reshape(xs.shape[:-2] + (s * C,))
-            xs = nn.BatchNorm(
-                use_running_average=False, momentum=self.momentum,
-                epsilon=self.epsilon, use_bias=False, use_scale=False,
-                dtype=self.dtype, name="split_bn",
-            )(xs)
-            xs = xs.reshape(xs.shape[:-1] + (s, C))
-            xs = jnp.moveaxis(xs, -2, 1)
-            x = xs.reshape((B,) + x.shape[1:])
+            # strided split grouping: split j = samples {i*s+j}, matching
+            # the reference's view(B//s, s*C)
+            xs = x.reshape((B // s, s) + x.shape[1:]).astype(jnp.float32)
+            axes = (0,) + tuple(range(2, xs.ndim - 1))
+            mean_s = xs.mean(axes)  # [s, C]
+            var_s = ((xs - mean_s.reshape(
+                (1, s) + (1,) * (xs.ndim - 3) + (C,)
+            )) ** 2).mean(axes)
+            x_hat = (xs - mean_s.reshape(
+                (1, s) + (1,) * (xs.ndim - 3) + (C,)
+            )) / jnp.sqrt(var_s.reshape(
+                (1, s) + (1,) * (xs.ndim - 3) + (C,)
+            ) + self.epsilon)
+            x = x_hat.reshape((B,) + x.shape[1:]).astype(dtype)
+            # running buffer tracks the split MIXTURE — the quantity the
+            # reference's aggregate_sub_bn_stats() computes from its
+            # per-split buffers before every eval/checkpoint
+            mean = mean_s.mean(0)
+            var = var_s.mean(0) + (mean_s ** 2).mean(0) - mean ** 2
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
         else:
-            # eval: aggregate split stats on the fly
-            bn = self.variables.get("batch_stats", {}).get("split_bn")
-            if bn is not None and self.num_splits > 1:
-                mean = bn["mean"].reshape(self.num_splits, C).mean(0)
-                var_split = bn["var"].reshape(self.num_splits, C)
-                mean_split = bn["mean"].reshape(self.num_splits, C)
-                # var of mixture
-                var = (
-                    var_split.mean(0)
-                    + (mean_split ** 2).mean(0)
-                    - mean ** 2
-                )
-                x = (x - mean) / jnp.sqrt(var + self.epsilon)
-            else:
-                x = nn.BatchNorm(
-                    use_running_average=True, momentum=self.momentum,
-                    epsilon=self.epsilon, use_bias=False, use_scale=False,
-                    dtype=self.dtype, name="split_bn_eval",
-                )(x)
-        return x * scale + bias
+            x = (x.astype(jnp.float32) - ra_mean.value) / jnp.sqrt(
+                ra_var.value + self.epsilon
+            )
+            x = x.astype(dtype)
+        return x * scale.astype(dtype) + bias.astype(dtype)
+
+
+class SubBatchNorm(nn.Module):
+    """Per-split train-time statistics (reference
+    batchnorm_helper.py:37-109), TPU redesign: train-mode BN uses batch
+    statistics only, so per-split behaviour needs just the on-the-fly
+    split stats; ONE aggregated [C] running buffer is updated with the
+    split mixture each step instead of keeping [s*C] per-split buffers.
+    The variable tree is therefore identical to BatchNorm, which lets
+    multigrid long cycles retarget NORM_TYPE/NUM_SPLITS across shape
+    changes with no state migration (reference rebuilds the trainer and
+    reloads the checkpoint instead, tools/train_net.py:653-675)."""
+
+    num_splits: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return _SubBNCore(
+            num_splits=self.num_splits, momentum=self.momentum,
+            epsilon=self.epsilon, dtype=self.dtype, name="bn",
+        )(x, train=train)
 
 
 def get_norm(cfg):

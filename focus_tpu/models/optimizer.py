@@ -88,15 +88,22 @@ def construct_optimizer_slot(params, cfg) -> optax.GradientTransformation:
 # Supervised optimizer
 # ---------------------------------------------------------------------------
 
-def _epoch_lr_schedule(cfg, steps_per_epoch: int, which: str) -> Callable:
-    """LR(step) = reference get_epoch_lr(step / steps_per_epoch)."""
+def _epoch_lr_schedule(cfg, steps_per_epoch: int, which: str,
+                       epoch_offset: float = 0.0,
+                       step_offset: int = 0) -> Callable:
+    """LR(step) = reference get_epoch_lr(step / steps_per_epoch).
+
+    ``epoch_offset``/``step_offset`` continue the schedule across a
+    multigrid long-cycle rebuild, where the batch size (and therefore
+    steps-per-epoch) changes mid-run: epoch(step) = epoch_offset +
+    (step - step_offset) / new_steps_per_epoch."""
 
     def sched(step):
         # Host-side python math is fine: optax calls schedules with traced
         # steps, so express via jnp-compatible ops.
         import jax.numpy as jnp
 
-        epoch = step / steps_per_epoch
+        epoch = epoch_offset + (step - step_offset) / steps_per_epoch
         if cfg.SOLVER.LR_POLICY == "cosine":
             base = (
                 cfg.SOLVER.ORVIT_BASE_LR if which == "orvit_lr" else cfg.SOLVER.BASE_LR
@@ -162,7 +169,8 @@ def _base_transform(cfg, lr_sched: Callable, weight_decay: float):
 
 
 def construct_optimizer(
-    params, cfg, steps_per_epoch: int, no_weight_decay_paths=()
+    params, cfg, steps_per_epoch: int, no_weight_decay_paths=(),
+    epoch_offset: float = 0.0, step_offset: int = 0,
 ) -> optax.GradientTransformation:
     """Supervised optimizer with the reference's group structure."""
     zero_wd_1d = cfg.SOLVER.ZERO_WD_1D_PARAM
@@ -177,13 +185,17 @@ def construct_optimizer(
         return f"orvit_{kind}" if orvit else kind
 
     labels = _label_tree(params, label_fn)
-    main_sched = _epoch_lr_schedule(cfg, steps_per_epoch, "lr")
+    main_sched = _epoch_lr_schedule(
+        cfg, steps_per_epoch, "lr", epoch_offset, step_offset
+    )
     groups = {
         "main": _base_transform(cfg, main_sched, cfg.SOLVER.WEIGHT_DECAY),
         "zero": _base_transform(cfg, main_sched, 0.0),
     }
     if use_orvit_lr:
-        orvit_sched = _epoch_lr_schedule(cfg, steps_per_epoch, "orvit_lr")
+        orvit_sched = _epoch_lr_schedule(
+            cfg, steps_per_epoch, "orvit_lr", epoch_offset, step_offset
+        )
         groups["orvit_main"] = _base_transform(cfg, orvit_sched, cfg.SOLVER.WEIGHT_DECAY)
         groups["orvit_zero"] = _base_transform(cfg, orvit_sched, 0.0)
     tx = optax.multi_transform(groups, labels)

@@ -78,55 +78,98 @@ class MultigridSchedule:
         return cfg, True
 
     def get_long_cycle_schedule(self, cfg):
-        """(reference multigrid.py:123-214)"""
-        steps = list(cfg.SOLVER.STEPS)
-        default_size = float(cfg.DATA.NUM_FRAMES * cfg.DATA.TRAIN_CROP_SIZE ** 2)
-        default_iters = steps[-1]
-        avg_bs, all_shapes = [], []
-        for t_factor, s_factor in cfg.MULTIGRID.LONG_CYCLE_FACTORS:
-            base_t = int(round(cfg.DATA.NUM_FRAMES * t_factor))
-            base_s = int(round(cfg.DATA.TRAIN_CROP_SIZE * s_factor))
-            if cfg.MULTIGRID.SHORT_CYCLE:
-                shapes = [
-                    [base_t, cfg.MULTIGRID.DEFAULT_S * cfg.MULTIGRID.SHORT_CYCLE_FACTORS[0]],
-                    [base_t, cfg.MULTIGRID.DEFAULT_S * cfg.MULTIGRID.SHORT_CYCLE_FACTORS[1]],
-                    [base_t, base_s],
-                ]
-            else:
-                shapes = [[base_t, base_s]]
-            shapes = [
-                [int(round(default_size / (s[0] * s[1] * s[1]))), s[0], s[1]]
-                for s in shapes
-            ]
-            avg_bs.append(np.mean([s[0] for s in shapes]))
-            all_shapes.append(shapes)
-
-        total_iters = 0
-        schedule = []
-        for step_index in range(len(steps) - 1):
-            step_epochs = steps[step_index + 1] - steps[step_index]
-            for ci, shapes in enumerate(all_shapes):
-                cur_epochs = step_epochs * avg_bs[ci] / sum(avg_bs)
-                total_iters += cur_epochs / avg_bs[ci]
-                schedule.append((step_index, shapes[-1], cur_epochs))
-
-        iter_saving = default_iters / total_iters
-        final_step_epochs = cfg.SOLVER.MAX_EPOCH - steps[-1]
-        ft_epochs = final_step_epochs / iter_saving * avg_bs[-1]
-        schedule.append((step_index + 1, all_shapes[-1][-1], ft_epochs))
-
-        x = (
-            cfg.SOLVER.MAX_EPOCH * cfg.MULTIGRID.EPOCH_FACTOR
-            / sum(s[-1] for s in schedule)
+        """(behaviour of reference multigrid.py:123-214; see
+        long_cycle_schedule)"""
+        return long_cycle_schedule(
+            factors=cfg.MULTIGRID.LONG_CYCLE_FACTORS,
+            default_t=cfg.DATA.NUM_FRAMES,
+            default_s=cfg.DATA.TRAIN_CROP_SIZE,
+            lr_steps=list(cfg.SOLVER.STEPS),
+            max_epoch=cfg.SOLVER.MAX_EPOCH,
+            epoch_factor=cfg.MULTIGRID.EPOCH_FACTOR,
+            short_cycle_factors=(
+                cfg.MULTIGRID.SHORT_CYCLE_FACTORS
+                if cfg.MULTIGRID.SHORT_CYCLE else None
+            ),
         )
-        final_schedule = []
-        total_epochs = 0
-        for s in schedule:
-            total_epochs += s[2] * x
-            final_schedule.append((s[0], s[1], int(round(total_epochs))))
-        for s in final_schedule:
-            logger.info(f"long-cycle {s[0]}\tshape {s[1]}\tuntil epoch {s[2]}")
-        return final_schedule
+
+
+def long_cycle_schedule(factors, default_t, default_s, lr_steps, max_epoch,
+                        epoch_factor, short_cycle_factors=None):
+    """Compute the long-cycle shape schedule as a pure function.
+
+    Multigrid training (Wu et al.; reference multigrid.py:123-214)
+    cycles through cheaper (T, S) input shapes, raising the batch size
+    to keep per-step memory/compute roughly constant, then rescales the
+    epoch budget so the *iteration* count shrinks while the *epoch*
+    count grows. Per long-cycle factor ``(t_f, s_f)``:
+
+      t_k = round(default_t * t_f), s_k = round(default_s * s_f)
+      batch factor b = round(default_t*default_s^2 / (t*s^2)) for each
+      of the cycle's shapes (with short cycles, the two short spatial
+      sizes share t_k and contribute to the cycle's mean batch factor).
+
+    Within every LR-step interval, each cycle runs for a duration
+    proportional to its mean batch factor (equal iteration counts per
+    cycle); a fine-tune stage at the final shape covers the post-steps
+    epochs scaled by the overall iteration saving; all durations are then
+    normalised so the total equals ``max_epoch * epoch_factor``.
+
+    Returns [(lr_step_index, (b, t, s), end_epoch)] with cumulative
+    integer end epochs.
+    """
+    factors = np.asarray(factors, np.float64)  # [K, 2]
+    t_k = np.rint(default_t * factors[:, 0]).astype(np.int64)  # [K]
+    s_k = np.rint(default_s * factors[:, 1]).astype(np.int64)  # [K]
+    full_size = np.float64(default_t) * default_s ** 2
+
+    if short_cycle_factors is not None:
+        # spatial sizes per cycle: two short shapes (off the ORIGINAL
+        # crop size and left FRACTIONAL — reference quirks, they only
+        # feed the batch-factor means) then the long shape — [K, 3]
+        short = np.asarray(short_cycle_factors[:2], np.float64) * default_s
+        spatial = np.concatenate(
+            [np.broadcast_to(short, (len(factors), 2)),
+             s_k[:, None].astype(np.float64)], axis=1
+        )
+    else:
+        spatial = s_k[:, None].astype(np.float64)  # [K, 1]
+    b_kj = np.rint(full_size / (t_k[:, None] * spatial ** 2))  # [K, n_shapes]
+    mean_b = b_kj.mean(axis=1)  # [K]
+    long_b = b_kj[:, -1].astype(np.int64)  # batch factor at the long shape
+
+    # interval lengths between LR steps; each interval is split across
+    # the K cycles proportional to mean_b (equal iterations per cycle)
+    lr_steps = np.asarray(lr_steps, np.float64)
+    intervals = np.diff(lr_steps)  # [n_steps-1]
+    dur = intervals[:, None] * (mean_b / mean_b.sum())  # [n_steps-1, K]
+    # iteration saving of the cycled stages vs running at full shape
+    rel_iters = (dur / mean_b).sum()
+    saving = lr_steps[-1] / rel_iters
+    # fine-tune stage: remaining epochs at the last shape, stretched by
+    # the batch factor but shrunk by the overall saving
+    ft = (max_epoch - lr_steps[-1]) / saving * mean_b[-1]
+
+    durations = np.append(dur.reshape(-1), ft)
+    durations *= max_epoch * epoch_factor / durations.sum()
+    ends = np.rint(np.cumsum(durations)).astype(np.int64)
+
+    lr_idx = np.append(
+        np.repeat(np.arange(len(intervals)), len(factors)), len(intervals)
+    )
+    shapes = [
+        (int(long_b[k]), int(t_k[k]), int(s_k[k]))
+        for _ in range(len(intervals))
+        for k in range(len(factors))
+    ] + [(int(long_b[-1]), int(t_k[-1]), int(s_k[-1]))]
+
+    schedule = [
+        (int(i), list(shape), int(e))
+        for i, shape, e in zip(lr_idx, shapes, ends)
+    ]
+    for s in schedule:
+        logger.info(f"long-cycle {s[0]}\tshape {s[1]}\tuntil epoch {s[2]}")
+    return schedule
 
 
 def get_current_long_cycle_shape(schedule, epoch):

@@ -67,6 +67,23 @@ def _install_stubs():
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["fvcore.common.registry"].Registry = Registry
     sys.modules["fvcore.common.timer"].Timer = object
+    # slowfast.utils.misc (pulled in by the MViT constructor) imports
+    # these as modules, plus psutil/matplotlib
+    for name in ("fvcore.nn.activation_count", "fvcore.nn.flop_count"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["fvcore.nn.activation_count"].activation_count = lambda *a, **k: ({}, {})
+    sys.modules["fvcore.nn.flop_count"].flop_count = lambda *a, **k: ({}, {})
+    try:
+        import psutil  # noqa: F401
+    except ImportError:
+        sys.modules.setdefault("psutil", types.ModuleType("psutil"))
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        mpl = types.ModuleType("matplotlib")
+        mpl.pyplot = types.ModuleType("matplotlib.pyplot")
+        sys.modules.setdefault("matplotlib", mpl)
+        sys.modules.setdefault("matplotlib.pyplot", mpl.pyplot)
     wi = sys.modules["fvcore.nn.weight_init"]
     wi.c2_msra_fill = lambda m: None
     wi.c2_xavier_fill = lambda m: None
@@ -147,8 +164,17 @@ def _install_stubs():
         return out
 
     for name in ("torchvision", "torchvision.ops", "torchvision.ops.boxes",
-                 "torchvision.models"):
+                 "torchvision.models", "torchvision.transforms",
+                 "torchvision.transforms.functional",
+                 "torchvision.io"):
         sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision.transforms"].functional = sys.modules[
+        "torchvision.transforms.functional"
+    ]
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"
+    ]
+    sys.modules["torchvision"].io = sys.modules["torchvision.io"]
     sys.modules["torchvision.ops"].roi_align = roi_align
 
     def box_area(boxes):
@@ -178,6 +204,18 @@ def _install_stubs():
             )
 
     sys.modules["detectron2.layers"].ROIAlign = ROIAlign
+
+    # slowfast.utils.misc (MViT constructor) does
+    # `from slowfast.datasets.utils import pack_pathway_output`, which
+    # would drag in the whole dataset package (imgaug, av, ...). The
+    # model fixtures never touch datasets — pre-register a stub package.
+    ds = types.ModuleType("slowfast.datasets")
+    ds.__path__ = []
+    dsu = types.ModuleType("slowfast.datasets.utils")
+    dsu.pack_pathway_output = lambda cfg, frames: [frames]
+    ds.utils = dsu
+    sys.modules.setdefault("slowfast.datasets", ds)
+    sys.modules.setdefault("slowfast.datasets.utils", dsu)
 
     sys.path.insert(0, "/root/reference")
 
@@ -343,6 +381,188 @@ def gen_orvit_block():
          thw=np.array([T, 3, 3]), **_sd_to_np(mod))
 
 
+# ------------------------------------------------- full-model fixtures
+def _repo_cfg():
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from focus_tpu.config import get_cfg
+
+    return get_cfg()
+
+
+def _randomize(mod, seed, scale=0.05):
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for p in mod.parameters():
+            if p.is_floating_point():
+                p.copy_(torch.randn_like(p) * scale)
+    return mod.eval()
+
+
+def _mf_full_cfg(orvit_layers=(), dataset="ssv2"):
+    """Tiny-but-real Motionformer: patch 56 on a 224 crop -> 16 patches
+    == the base grid, so no pos-embed interpolation ambiguity."""
+    cfg = _repo_cfg()
+    cfg.MODEL.MODEL_NAME = "Motionformer"
+    cfg.MODEL.NUM_CLASSES = 7
+    cfg.TRAIN.DATASET = dataset
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.MF.PATCH_SIZE = 56
+    cfg.MF.PATCH_SIZE_TEMP = 2
+    cfg.MF.EMBED_DIM = 24
+    cfg.MF.DEPTH = 3
+    cfg.MF.NUM_HEADS = 2
+    cfg.MF.MLP_RATIO = 4
+    cfg.MF.QKV_BIAS = True
+    cfg.MF.TEMPORAL_RESOLUTION = 2
+    cfg.MF.USE_MLP = True
+    cfg.ORVIT.LAYERS = list(orvit_layers)
+    cfg.ORVIT.ENABLE = bool(orvit_layers)
+    cfg.ORVIT.O = 3
+    return cfg
+
+
+def gen_motionformer_full():
+    """Full reference Motionformer forward (video_model_builder.py:
+    1103-1353): patch embed, separate pos-embed tiling, blocks, USE_MLP
+    pre-logits, eval softmax — plus the ORViT-MF and EK dual-head
+    variants."""
+    from slowfast.models.video_model_builder import Motionformer
+
+    rs = np.random.RandomState(8)
+    video = rs.rand(2, 3, 4, 224, 224).astype(np.float32)
+    boxes = (rs.rand(2, 2, 3, 4) * 0.4 + 0.2).astype(np.float32)
+
+    mod = _randomize(Motionformer(_mf_full_cfg()), 8)
+    with torch.no_grad():
+        out = mod([torch.from_numpy(video)], {})
+    save("motionformer_full", video=video, out=out.numpy(), **_sd_to_np(mod))
+
+    mod = _randomize(Motionformer(_mf_full_cfg(orvit_layers=(1,))), 9)
+    with torch.no_grad():
+        out = mod(
+            [torch.from_numpy(video)],
+            {"orvit_bboxes": torch.from_numpy(boxes)},
+        )
+    save("orvit_mf_full", video=video, boxes=boxes, out=out.numpy(),
+         **_sd_to_np(mod))
+
+    mod = _randomize(Motionformer(_mf_full_cfg(dataset="epickitchens")), 10)
+    with torch.no_grad():
+        _, both = mod([torch.from_numpy(video)], {})
+    save("motionformer_ek_full", video=video, out_verb=both["verb"].numpy(),
+         out_noun=both["noun"].numpy(), **_sd_to_np(mod))
+
+
+def gen_mvit_full():
+    """Full reference MViT forward (video_model_builder.py:765-1100) at
+    a tiny config with one pooling stage + dim/head expansion."""
+    from slowfast.models.video_model_builder import MViT
+
+    cfg = _repo_cfg()
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 7
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.MVIT.EMBED_DIM = 24
+    cfg.MVIT.NUM_HEADS = 2
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.DIM_MUL = [[1, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 4, 4]
+    # the fork's PATCH_PADDING default [2,4,4] contradicts its own
+    # pos-embed sizing (input_dims // stride); every zoo MViT config
+    # overrides to [1,3,3]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+
+    # upstream bug: attention.py:321 passes drop_rate= to common.Mlp,
+    # whose __init__ takes drop= — the reference MViT cannot be
+    # constructed as-is. Shim the obvious intent (drop_rate -> drop).
+    import slowfast.models.attention as ref_attn
+
+    orig_mlp = ref_attn.Mlp
+
+    class MlpCompat(orig_mlp):
+        def __init__(self, *a, drop_rate=0.0, **k):
+            super().__init__(*a, drop=drop_rate, **k)
+
+    ref_attn.Mlp = MlpCompat
+    try:
+        mod = _randomize(MViT(cfg), 11)
+        rs = np.random.RandomState(11)
+        video = rs.rand(2, 3, 4, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            out = mod([torch.from_numpy(video)], {})
+    finally:
+        ref_attn.Mlp = orig_mlp
+    save("mvit_full", video=video, out=out.numpy(), **_sd_to_np(mod))
+
+
+def gen_steve_full():
+    """Full reference STEVE forward (models/STEVE/steve.py:253-392) with
+    RECORDED gumbel noise, so the stochastic dVAE sampling can be
+    replayed exactly on the flax side."""
+    import torch.nn.functional as F
+
+    from slowfast.models.STEVE import steve as ref_steve
+
+    cfg = _repo_cfg()
+    cfg.SLOTS.NUM_ITERS = 2
+    cfg.SLOTS.NUM_SLOTS = 3
+    cfg.SLOTS.VOCAB_SIZE = 8
+    cfg.SLOTS.IMG_SIZE = 32
+    cfg.SLOTS.IMG_CHANNELS = 3
+    cfg.SLOTS.SIZE = 32
+    cfg.SLOTS.DIM = 32
+    cfg.SLOTS.CNN_HID_SIZE = 16
+    cfg.SLOTS.MLP_HID_SIZE = 64
+    cfg.SLOTS.NUM_PREDICTOR_BLOCKS = 1
+    cfg.SLOTS.NUM_PREDICTOR_HEADS = 2
+    cfg.SLOTS.DECODER.NUM_BLOCKS = 2
+    cfg.SLOTS.DECODER.NUM_HEADS = 2
+    cfg.SLOTS.DECODER.DIM = 32
+
+    noises = []
+    real_gumbel = ref_steve.gumbel_softmax
+
+    def recording_gumbel(logits, tau=1.0, hard=False, dim=-1):
+        eps = torch.finfo(logits.dtype).tiny
+        g = torch.Generator().manual_seed(1234 + len(noises))
+        u = torch.empty_like(logits).exponential_(generator=g)
+        noise = -(u + eps).log()
+        noises.append(noise.numpy())
+        y_soft = F.softmax((logits + noise) / tau, dim)
+        if hard:
+            index = y_soft.argmax(dim, keepdim=True)
+            y_hard = torch.zeros_like(logits).scatter_(dim, index, 1.0)
+            return y_hard - y_soft.detach() + y_soft
+        return y_soft
+
+    ref_steve.gumbel_softmax = recording_gumbel
+    try:
+        mod = _randomize(ref_steve.STEVE(cfg), 12)
+        rs = np.random.RandomState(12)
+        video = rs.rand(2, 2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            recon, ce, mse, attns = mod(
+                torch.from_numpy(video), tau=1.0, hard=False
+            )
+    finally:
+        ref_steve.gumbel_softmax = real_gumbel
+    save(
+        "steve_full", video=video, recon=recon.numpy(),
+        cross_entropy=np.array(float(ce)), mse=np.array(float(mse)),
+        attns=attns.numpy(),
+        **{f"noise_{i}": n for i, n in enumerate(noises)},
+        **_sd_to_np(mod),
+    )
+
+
 def main():
     _install_stubs()
     gen_trajectory_attention()
@@ -352,6 +572,9 @@ def main():
     gen_steve_transformer()
     gen_multiscale_attention()
     gen_orvit_block()
+    gen_motionformer_full()
+    gen_mvit_full()
+    gen_steve_full()
 
 
 if __name__ == "__main__":
