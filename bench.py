@@ -78,9 +78,14 @@ def measure(cfg, video, boxes, iters=10):
     eval_step(variables, video, boxes).block_until_ready()
     eval_step(variables, video, boxes).block_until_ready()
 
+    # chain a data dependence through the loop: the axon relay memoises
+    # repeated dispatches with identical arguments (BENCH_NOTES round 1),
+    # so each iteration must see a fresh input buffer. The perturbation
+    # is ~1e-12 relative — numerically irrelevant, structurally unskippable.
     t0 = time.perf_counter()
     for _ in range(iters):
         out = eval_step(variables, video, boxes)
+        video = video + out.mean() * 1e-12
     out.block_until_ready()
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(out).all()), "non-finite logits in bench run"

@@ -21,6 +21,12 @@ from focus_tpu.models.common import (
 )
 
 
+def _sample_slot_noise(rng, shape):
+    """Slot-init noise (reference steve.py:56 new_empty().normal_());
+    module-level so parity tests can replay recorded reference noise."""
+    return jax.random.normal(rng, shape, jnp.float32)
+
+
 class SlotAttentionVideo(nn.Module):
     num_iterations: int
     num_slots: int
@@ -97,10 +103,9 @@ class SlotAttentionVideo(nn.Module):
         B = inputs.shape[0]
         compute_dtype = self.dtype or inputs.dtype
         if noise is None:
-            noise = jax.random.normal(
+            noise = _sample_slot_noise(
                 self.make_rng("slots"),
                 (B, self.num_slots, self.slot_size),
-                jnp.float32,
             )
         slots0 = (
             self.slot_mu + jnp.exp(self.slot_log_sigma) * noise

@@ -401,6 +401,187 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
     return out[:, :S]
 
 
+def _fused_kernel_v5(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
+                     o_ref, k2v_ref, *, scale, n_valid, f, h, bq):
+    """v5: the per-(head, frame) PV products are gone.
+
+    v4's remaining cost was MXU launch latency on the 96 tiny per-frame
+    PV matmuls (~37 of 58 us/cell — BENCH_NOTES round 2). v5 never
+    materialises the per-frame aggregates xs_f at all; everything runs
+    frames-batched over the wide [BQ, F*N_pad] weight matrix:
+
+      p            = exp2(logits * c)          (unnormalised, pads = 1·0)
+      s[q, f]      = valid-slice sums of p     (per-frame normalisers)
+      x_diag_h     = (p ⊙ own-frame mask / s_diag) @ V_h      (1 matmul)
+      q2           = x_diag @ Wq2 + bq2        (as before)
+      M_h[q, fn]   = q2_h · (V @ Wk2)_h[fn]    (1 matmul; k2v cached in
+                     scratch once per batch row — it is q-block-invariant)
+      l2[q, f]     = Σ_{n∈f} p⊙M / s[q,f]      (segmented VPU reduce;
+                     pad columns self-cancel: M is 0 there)
+      a2           = softmax_f(l2)
+      out_h        = (p ⊙ a2/s broadcast) @ V_h               (1 matmul)
+
+    The l2 identity is the exact stage-2 logit: q2·(xs_f @ Wk2) with
+    xs_f = (p_f/s_f) @ V expanded and reassociated; the final PV folds
+    the temporal weights a2 into the stage-1 weights so the whole
+    output is ONE frames-batched matmul per head. 4 MXU launches per
+    head per cell instead of 2+2F.
+
+    k_ref/v_ref: [1, F*N_pad, C] frame-major; scratch k2v [F*N_pad, C].
+    """
+    C = q_ref.shape[-1]
+    hd = C // h
+    n_pad = k_ref.shape[1] // f
+    qi = pl.program_id(1)
+    c = scale * _LOG2E
+    f32 = jnp.float32
+
+    tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    fq = tok // n_valid
+
+    # k2v = V @ Wk2 is shared by every q-block of this batch row
+    @pl.when(qi == 0)
+    def _project_k2v():
+        k2v_ref[...] = jax.lax.dot_general(
+            v_ref[0], wk2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(k2v_ref.dtype)
+
+    # own-frame column mask (shared across heads)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (bq, f * n_pad), 1) // n_pad
+    own = colf == fq  # [BQ, F*N_pad]
+
+    ps, ss, sds = [], [], []
+    diag_parts = []
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        logits = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )  # [BQ, F*N_pad]
+        p = jnp.exp2(jnp.minimum(logits * c, 110.0))
+        # per-frame normalisers over the valid column slices
+        s_cols = [
+            jnp.maximum(
+                jnp.sum(
+                    p[:, fi * n_pad:fi * n_pad + n_valid],
+                    axis=-1, keepdims=True,
+                ),
+                1e-30,
+            )
+            for fi in range(f)
+        ]
+        s = jnp.concatenate(s_cols, axis=-1)  # [BQ, F]
+        s_diag = jnp.sum(jnp.where(
+            fq == jax.lax.broadcasted_iota(jnp.int32, (bq, f), 1), s, 0.0
+        ), axis=-1, keepdims=True)
+        pd = jnp.where(own, p, 0.0) / s_diag
+        diag_parts.append(
+            jax.lax.dot_general(
+                pd.astype(v_ref.dtype), v_ref[0, :, sl],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+        )
+        ps.append(p)
+        ss.append(s)
+
+    x_diag = jnp.concatenate(diag_parts, axis=-1).astype(q_ref.dtype)
+    q2 = jax.lax.dot_general(
+        x_diag, wq2_ref[...].astype(q_ref.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bq2_ref[0].astype(f32)
+    q2 = (q2 * scale).astype(q_ref.dtype)
+
+    outs = []
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        p, s = ps[hi], ss[hi]
+        m = jax.lax.dot_general(
+            q2[:, sl], k2v_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [BQ, F*N_pad] stage-2 logit contributions
+        pm = p * m
+        l2 = jnp.concatenate(
+            [
+                jnp.sum(
+                    pm[:, fi * n_pad:(fi + 1) * n_pad],
+                    axis=-1, keepdims=True,
+                )
+                for fi in range(f)
+            ],
+            axis=-1,
+        ) / s  # [BQ, F]
+        m2 = jnp.max(l2, axis=-1, keepdims=True)
+        a2 = jnp.exp(l2 - m2)
+        a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
+        coef = a2 / s  # [BQ, F]
+        w_cols = [
+            p[:, fi * n_pad:(fi + 1) * n_pad] * coef[:, fi:fi + 1]
+            for fi in range(f)
+        ]
+        w = jnp.concatenate(w_cols, axis=-1)
+        outs.append(
+            jax.lax.dot_general(
+                w.astype(v_ref.dtype), v_ref[0, :, sl],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fused_fwd_pallas_v5(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                         block_q: int = 256, interpret: bool = False):
+    """v5 wrapper: grid (b, q_block); keys/values frame-concatenated;
+    k2v cached in VMEM scratch per batch row."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, C = q.shape
+    F, N = kf.shape[1], kf.shape[2]
+    n_pad = _round_up(N, 128)
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    kf2 = kf.reshape(B, F * n_pad, C)
+    vf2 = vf.reshape(B, F * n_pad, C)
+    bq = min(block_q, _round_up(S, 8))
+    s_pad = _round_up(S, bq)
+    if s_pad != S:
+        q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
+    bq2_2d = bq2.reshape(1, C)
+    bk2_2d = bk2.reshape(1, C)
+
+    grid = (B, s_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel_v5, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((F * n_pad, C), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # b must iterate sequentially so the qi==0 k2v fill precedes
+            # its consumers within each row
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, kf2, vf2, wq2, bq2_2d, wk2, bk2_2d)
+    return out[:, :S]
+
+
 # measured-best flag combination (see BENCH_NOTES.md kernel study);
 # overridable for A/B profiling via scripts/profile_kernel_variants.py
 KERNEL_FLAGS = dict(nomax=True, inline_diag=False, stage2_bf16=False,

@@ -28,7 +28,11 @@ logger = logging.get_logger(__name__)
 _RENAMES = {
     "pre_logits_fc": "pre_logits.fc",
     "dict_emb": "dict.dictionary",
+    "dict": "dict.dictionary",
     "patch_embed_proj": "patch_embed.proj",
+    # STEVE encoder MLPs are torch Sequentials (steve.py:224-227, 234)
+    "mlp_fc1": "mlp.0",
+    "mlp_fc2": "mlp.2",
 }
 # two adjacent flax components that collapse to one torch component
 # (wrapper modules: our BatchNorm wraps nn.BatchNorm named 'bn'; MViT's
@@ -46,9 +50,29 @@ _PAIR_RENAMES = {
     ("pool_q", "norm"): "norm_q",
     ("pool_k", "norm"): "norm_k",
     ("pool_v", "norm"): "norm_v",
+    # STEVE transformer FFNs are torch Sequentials (transformer.py)
+    ("ffn", "fc1"): "ffn.0",
+    ("ffn", "fc2"): "ffn.2",
 }
 # two-layer no-bias MLPs stored as torch Sequential (fc1->0, fc2->2)
 _SEQ_MLPS = ("patch_to_d", "c_coord_to_feature")
+
+# STEVE dVAE/BaseCNN sequential indices (reference STEVE/dvae.py and
+# steve.py:162-173): flax names each stage; torch numbers the
+# nn.Sequential slots (gaps are PixelShuffle/activation slots). The
+# inner Conv2dBlock conv is torch attribute 'm'.
+_DVAE_ENC = {"stem": "0", "head": "7",
+             **{f"block_{i}": str(i + 1) for i in range(6)}}
+_DVAE_DEC = {"in_block": "0", "block_0": "1", "block_1": "2",
+             "block_2": "3", "up_proj_0": "4", "block_3": "6",
+             "block_4": "7", "block_5": "8", "up_proj_1": "9",
+             "head": "11"}
+_BASECNN = {"block_0": "fenc.0", "block_1": "fenc.1", "block_2": "fenc.2",
+            "head": "fenc.3"}
+# stages whose inner flax 'conv' is the torch Conv2dBlock attribute 'm'
+_CONV_BLOCK_STAGES = frozenset(
+    k for k in (*_DVAE_ENC, *_DVAE_DEC, *_BASECNN) if k != "head"
+)
 
 
 def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], Any]:
@@ -80,8 +104,28 @@ def flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
     parts: List[str] = []
     leaf = path[-1]
     mods = path[:-1]
+    steve_side = mods[:1] and mods[0] in ("dvae", "steve_encoder",
+                                          "steve_decoder")
     for i, m in enumerate(mods):
         prev = parts[-1].split(".")[-1] if parts else None
+        # STEVE sequential-stage names (context-dependent, see tables)
+        if steve_side:
+            if i == 2 and mods[0] == "dvae" and mods[1] in (
+                "encoder", "decoder"
+            ):
+                table = _DVAE_ENC if mods[1] == "encoder" else _DVAE_DEC
+                if m in table:
+                    parts.append(table[m])
+                    continue
+            if i == 2 and mods[1] == "cnn" and m in _BASECNN:
+                parts.append(_BASECNN[m])
+                continue
+            if m == "conv" and i >= 1 and mods[i - 1] in _CONV_BLOCK_STAGES:
+                parts.append("m")
+                continue
+            if m == "linear":
+                # STEVE's linear() wrapper module — no torch counterpart
+                continue
         if prev is not None and (prev, m) in _PAIR_RENAMES:
             parts[-1] = ".".join(
                 parts[-1].split(".")[:-1] + [_PAIR_RENAMES[(prev, m)]]
@@ -108,6 +152,9 @@ def flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
         return base + ".bias", "bias"
     if leaf == "embedding":
         return base + ".weight", "embed"
+    if leaf in ("weight_ih", "weight_hh"):
+        # torch GRUCell stores [3H, in]; ours [in, 3H]
+        return base + "." + leaf, "linear"
     # bare parameters (cls_token, pos_embed, box_categories, ...)
     return ".".join(parts + [leaf]), "raw"
 

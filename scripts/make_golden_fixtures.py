@@ -543,22 +543,37 @@ def gen_steve_full():
             return y_hard - y_soft.detach() + y_soft
         return y_soft
 
+    # the SAVi slot init draws torch noise inline (steve.py:56
+    # new_empty().normal_()) — record it for replay too
+    slot_noises = []
+    orig_normal_ = torch.Tensor.normal_
+
+    def recording_normal_(self, *a, **k):
+        g = torch.Generator().manual_seed(777 + len(slot_noises))
+        vals = torch.randn(self.shape, generator=g)
+        self.copy_(vals)
+        slot_noises.append(vals.numpy())
+        return self
+
     ref_steve.gumbel_softmax = recording_gumbel
     try:
         mod = _randomize(ref_steve.STEVE(cfg), 12)
         rs = np.random.RandomState(12)
         video = rs.rand(2, 2, 3, 32, 32).astype(np.float32)
+        torch.Tensor.normal_ = recording_normal_
         with torch.no_grad():
             recon, ce, mse, attns = mod(
                 torch.from_numpy(video), tau=1.0, hard=False
             )
     finally:
         ref_steve.gumbel_softmax = real_gumbel
+        torch.Tensor.normal_ = orig_normal_
     save(
         "steve_full", video=video, recon=recon.numpy(),
         cross_entropy=np.array(float(ce)), mse=np.array(float(mse)),
         attns=attns.numpy(),
         **{f"noise_{i}": n for i, n in enumerate(noises)},
+        **{f"slot_noise_{i}": n for i, n in enumerate(slot_noises)},
         **_sd_to_np(mod),
     )
 

@@ -1,0 +1,201 @@
+"""FULL-model parity against fixtures generated from the EXECUTED
+reference models (round-2 verdict #4): Motionformer (plain / ORViT /
+EK dual-head), MViT, and STEVE forward — weights flowing through the
+production torch importer wherever it applies. These cover patch-embed
+layout, pos-embed tiling order, eval softmax, head MLPs and the importer
+itself in one artifact per model."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from focus_tpu.config import get_cfg  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def load(name):
+    path = os.path.join(FIXDIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} missing — run scripts/make_golden_fixtures.py")
+    data = dict(np.load(path))
+    sd = {k[3:]: v for k, v in data.items() if k.startswith("sd/")}
+    rest = {k: v for k, v in data.items() if not k.startswith("sd/")}
+    return rest, sd
+
+
+def mf_full_cfg(orvit_layers=(), dataset="ssv2"):
+    """Mirror of scripts/make_golden_fixtures._mf_full_cfg."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "Motionformer"
+    cfg.MODEL.NUM_CLASSES = 7
+    cfg.TRAIN.DATASET = dataset
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.MF.PATCH_SIZE = 56
+    cfg.MF.PATCH_SIZE_TEMP = 2
+    cfg.MF.EMBED_DIM = 24
+    cfg.MF.DEPTH = 3
+    cfg.MF.NUM_HEADS = 2
+    cfg.MF.MLP_RATIO = 4
+    cfg.MF.QKV_BIAS = True
+    cfg.MF.TEMPORAL_RESOLUTION = 2
+    cfg.MF.USE_MLP = True
+    cfg.ORVIT.LAYERS = list(orvit_layers)
+    cfg.ORVIT.ENABLE = bool(orvit_layers)
+    cfg.ORVIT.O = 3
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def _import_and_apply(cfg, sd, video, metadata):
+    from focus_tpu.models.build import build_model, init_model
+    from focus_tpu.utils.torch_import import import_torch_params
+
+    model = build_model(cfg)
+    variables = init_model(model, cfg, (jnp.asarray(video), metadata))
+    new_params, report = import_torch_params(
+        sd, variables["params"], allow_missing=False
+    )
+    assert not report["missing"], report["missing"]
+    return model.apply({"params": new_params}, jnp.asarray(video), metadata)
+
+
+def test_motionformer_full_golden():
+    d, sd = load("motionformer_full")
+    video = d["video"].transpose(0, 2, 3, 4, 1)  # [B,C,T,H,W] -> [B,T,H,W,C]
+    out = _import_and_apply(mf_full_cfg(), sd, video, {})
+    np.testing.assert_allclose(np.asarray(out), d["out"], atol=2e-5)
+
+
+def test_orvit_mf_full_golden():
+    d, sd = load("orvit_mf_full")
+    video = d["video"].transpose(0, 2, 3, 4, 1)
+    meta = {"orvit_bboxes": jnp.asarray(d["boxes"])}
+    out = _import_and_apply(mf_full_cfg(orvit_layers=(1,)), sd, video, meta)
+    np.testing.assert_allclose(np.asarray(out), d["out"], atol=2e-4)
+
+
+def test_motionformer_ek_full_golden():
+    d, sd = load("motionformer_ek_full")
+    video = d["video"].transpose(0, 2, 3, 4, 1)
+    out = _import_and_apply(
+        mf_full_cfg(dataset="epickitchens"), sd, video, {}
+    )
+    _, both = out
+    np.testing.assert_allclose(
+        np.asarray(both["verb"]), d["out_verb"], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(both["noun"]), d["out_noun"], atol=2e-5
+    )
+
+
+def test_mvit_full_golden():
+    d, sd = load("mvit_full")
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 7
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.TEST_CROP_SIZE = 64
+    cfg.MVIT.EMBED_DIM = 24
+    cfg.MVIT.NUM_HEADS = 2
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.DIM_MUL = [[1, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    video = d["video"].transpose(0, 2, 3, 4, 1)
+    out = _import_and_apply(cfg, sd, video, {})
+    # overlapping patch-conv reduction order costs ~3e-5 vs torch
+    np.testing.assert_allclose(np.asarray(out), d["out"], atol=1e-4)
+
+
+def test_steve_full_golden(monkeypatch):
+    """Full STEVE forward with the reference's RECORDED gumbel noise
+    replayed, so the stochastic path is bit-comparable."""
+    from focus_tpu.models.build import build_model, init_model
+    from focus_tpu.models.steve import steve as steve_mod
+
+    d, sd = load("steve_full")
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "STEVE"
+    cfg.SLOTS.NUM_ITERS = 2
+    cfg.SLOTS.NUM_SLOTS = 3
+    cfg.SLOTS.VOCAB_SIZE = 8
+    cfg.SLOTS.IMG_SIZE = 32
+    cfg.SLOTS.IMG_CHANNELS = 3
+    cfg.SLOTS.SIZE = 32
+    cfg.SLOTS.DIM = 32
+    cfg.SLOTS.CNN_HID_SIZE = 16
+    cfg.SLOTS.MLP_HID_SIZE = 64
+    cfg.SLOTS.NUM_PREDICTOR_BLOCKS = 1
+    cfg.SLOTS.NUM_PREDICTOR_HEADS = 2
+    cfg.SLOTS.DECODER.NUM_BLOCKS = 2
+    cfg.SLOTS.DECODER.NUM_HEADS = 2
+    cfg.SLOTS.DECODER.DIM = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    # replay the recorded noise: reference draws NCHW, ours is NHWC-last
+    noises = [
+        jnp.asarray(d[f"noise_{i}"].transpose(0, 2, 3, 1))
+        for i in range(2)
+    ]
+    calls = []
+
+    def replay_gumbel(rng, logits, tau, hard, axis=-1):
+        # init() traces the forward too — cycle (z_soft, z_hard) pairs
+        noise = noises[len(calls) % 2]
+        calls.append(1)
+        y_soft = jax.nn.softmax((logits + noise) / tau, axis=axis)
+        if not hard:
+            return y_soft
+        idx = jnp.argmax(y_soft, axis=axis)
+        y_hard = jax.nn.one_hot(
+            idx, logits.shape[axis], axis=axis, dtype=logits.dtype
+        )
+        return y_hard - jax.lax.stop_gradient(y_soft) + y_soft
+
+    monkeypatch.setattr(steve_mod, "gumbel_softmax", replay_gumbel)
+
+    from focus_tpu.models.steve import slot_attention as sa_mod
+
+    slot_noise = jnp.asarray(d["slot_noise_0"])
+    monkeypatch.setattr(
+        sa_mod, "_sample_slot_noise", lambda rng, shape: slot_noise
+    )
+
+    video = jnp.asarray(d["video"].transpose(0, 1, 3, 4, 2))  # ->[B,T,H,W,C]
+    model = build_model(cfg)
+    variables = init_model(model, cfg, (video, 1.0, False))
+
+    from focus_tpu.utils.torch_import import import_torch_params
+
+    new_params, report = import_torch_params(sd, variables["params"])
+    assert not report["missing"], report["missing"]
+
+    recon, ce, mse, attns = model.apply(
+        {"params": new_params}, video, 1.0, False,
+        rngs={"gumbel": jax.random.PRNGKey(0),
+              "slots": jax.random.PRNGKey(1)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(recon), d["recon"].transpose(0, 1, 3, 4, 2), atol=2e-5
+    )
+    np.testing.assert_allclose(float(mse), float(d["mse"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(ce), float(d["cross_entropy"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(attns), d["attns"].transpose(0, 1, 2, 4, 5, 3), atol=2e-5
+    )

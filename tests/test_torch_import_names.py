@@ -48,10 +48,27 @@ def test_mvit_names():
 
 
 def test_steve_names():
+    # sequential-stage mapping verified end-to-end by
+    # tests/test_full_model_golden.py::test_steve_full_golden
     assert t("dvae/encoder/stem/conv/kernel") == (
-        "dvae.encoder.stem.conv.weight", "linear",
+        "dvae.encoder.0.m.weight", "linear",
+    )
+    assert t("dvae/decoder/block_3/conv/bias") == (
+        "dvae.decoder.6.m.bias", "bias",
+    )
+    assert t("steve_encoder/cnn/head/kernel") == (
+        "steve_encoder.cnn.fenc.3.weight", "linear",
+    )
+    assert t("steve_encoder/savi/gru/weight_ih") == (
+        "steve_encoder.savi.gru.weight_ih", "linear",
+    )
+    assert t("steve_decoder/tf/blocks_1/ffn/fc1/linear/kernel") == (
+        "steve_decoder.tf.blocks.1.ffn.0.weight", "linear",
     )
     assert t("steve_decoder/dict_emb/embedding") == (
+        "steve_decoder.dict.dictionary.weight", "embed",
+    )
+    assert t("steve_decoder/dict/embedding") == (
         "steve_decoder.dict.dictionary.weight", "embed",
     )
 
