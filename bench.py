@@ -70,22 +70,25 @@ def measure(cfg, video, boxes, iters=10):
     )
     variables = random_params_like(shapes)
 
+    # every dispatch must carry DIFFERENT argument values: the axon relay
+    # memoises repeated dispatches with identical arguments (BENCH_NOTES
+    # round 1). A per-iteration salt scalar perturbs the input by ~1e-6
+    # absolute — large enough to survive f32 rounding (a 1e-12-relative
+    # nudge underflows and left the args bit-identical), small enough to
+    # be numerically irrelevant.
     @jax.jit
-    def eval_step(variables, video, boxes):
-        return model.apply(variables, video, {"orvit_bboxes": boxes})
+    def eval_step(variables, video, boxes, salt):
+        return model.apply(
+            variables, video + salt * 1e-6, {"orvit_bboxes": boxes}
+        )
 
     # compile + warmup
-    eval_step(variables, video, boxes).block_until_ready()
-    eval_step(variables, video, boxes).block_until_ready()
+    eval_step(variables, video, boxes, jnp.float32(-1)).block_until_ready()
+    eval_step(variables, video, boxes, jnp.float32(-2)).block_until_ready()
 
-    # chain a data dependence through the loop: the axon relay memoises
-    # repeated dispatches with identical arguments (BENCH_NOTES round 1),
-    # so each iteration must see a fresh input buffer. The perturbation
-    # is ~1e-12 relative — numerically irrelevant, structurally unskippable.
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eval_step(variables, video, boxes)
-        video = video + out.mean() * 1e-12
+    for i in range(iters):
+        out = eval_step(variables, video, boxes, jnp.float32(i))
     out.block_until_ready()
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(out).all()), "non-finite logits in bench run"

@@ -215,6 +215,11 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
         params, cfg, steps_per_epoch, no_weight_decay_paths=no_wd
     )
     state = TrainState.create(params, tx, batch_stats=batch_stats)
+    if getattr(cfg.MODEL, "LOAD_IN_PRETRAIN", ""):
+        # timm-format image pretrained (reference models/build.py:47-61)
+        from focus_tpu.utils import timm_pretrained
+
+        state = timm_pretrained.load_into_state(cfg, state)
     # replicated for pure DP; tensor-parallel specs on the transformer
     # dense layers when the mesh has a model axis (TPU extension)
     state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))

@@ -587,8 +587,18 @@ def _fused_fwd_pallas_v5(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
 KERNEL_FLAGS = dict(nomax=True, inline_diag=False, stage2_bf16=False,
                     diag_frame=True, fouter=True)
 
-# v4 (frames-batched QK) selector; measured against v3 on chip
-FWD_USE_V4 = True
+# forward kernel version selector; measured on chip (BENCH_NOTES):
+# 3 = per-frame grid, 4 = frames-batched QK, 5 = fully frames-batched
+# (no per-frame PV launches)
+FWD_VERSION = 5
+
+
+def _fwd_impl():
+    return {
+        3: _fused_fwd_pallas,
+        4: _fused_fwd_pallas_v4,
+        5: _fused_fwd_pallas_v5,
+    }[FWD_VERSION]
 
 
 def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
@@ -668,18 +678,16 @@ def _xla_reference(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_trajectory_core(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
                           interpret=False):
-    fwd = _fused_fwd_pallas_v4 if FWD_USE_V4 else _fused_fwd_pallas
-    return fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-               interpret=interpret)
+    return _fwd_impl()(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                       interpret=interpret)
 
 
 def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
-    # v4's 100M vmem budget fits bq=256 under grad too (the v3 kernel
+    # v4+'s 100M vmem budget fits bq=256 under grad too (the v3 kernel
     # needed 128 here)
-    fwd = _fused_fwd_pallas_v4 if FWD_USE_V4 else _fused_fwd_pallas
-    bq = 256 if FWD_USE_V4 else 128
-    out = fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
-              block_q=bq, interpret=interpret)
+    bq = 128 if FWD_VERSION == 3 else 256
+    out = _fwd_impl()(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                      block_q=bq, interpret=interpret)
     return out, (q, kf, vf, wq2, bq2, wk2, bk2)
 
 

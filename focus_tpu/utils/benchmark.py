@@ -25,6 +25,7 @@ def benchmark_data_loading(cfg):
     iter_times = ScalarMeter(cfg.BENCHMARK.LOG_PERIOD)
     total_clips = 0
     t_start = time.perf_counter()
+    cpu_start = time.process_time()  # all loader threads share the process
     for epoch in range(cfg.BENCHMARK.NUM_EPOCHS):
         if cfg.BENCHMARK.SHUFFLE:
             data_loader.shuffle_dataset(train_loader, epoch)
@@ -46,9 +47,16 @@ def benchmark_data_loading(cfg):
                 )
             t0 = time.perf_counter()
     elapsed = time.perf_counter() - t_start
+    cpu_elapsed = time.process_time() - cpu_start
+    # host cost model: preprocessing is CPU-bound and embarrassingly
+    # parallel across clips, so clips/s scales ~linearly in vCPUs until
+    # it covers the device rate (BENCH_NOTES input-pipeline section)
+    cpu_sec_per_clip = cpu_elapsed / max(total_clips, 1)
     stats = {
         "_type": "data_benchmark_final",
         "clips_per_sec": total_clips / elapsed,
+        "cpu_sec_per_clip": cpu_sec_per_clip,
+        "projected_clips_per_sec_at_100_vcpu": 100.0 / cpu_sec_per_clip,
         "total_sec": elapsed,
     }
     logging.log_json_stats(stats)
