@@ -70,12 +70,15 @@ def measure(cfg, video, boxes, iters=10):
     )
     variables = random_params_like(shapes)
 
-    # every dispatch must carry DIFFERENT argument values: the axon relay
-    # memoises repeated dispatches with identical arguments (BENCH_NOTES
-    # round 1). A per-iteration salt scalar perturbs the input by ~1e-6
-    # absolute — large enough to survive f32 rounding (a 1e-12-relative
-    # nudge underflows and left the args bit-identical), small enough to
-    # be numerically irrelevant.
+    # Timing protocol: the axon relay memoises repeated dispatches with
+    # IDENTICAL argument values (BENCH_NOTES round 1 — it poisoned two
+    # interim measurements this round at 47k/26k "clips/s"), so every
+    # dispatch carries a distinct salt perturbing the input by ~1e-6
+    # absolute (above f32 rounding at pixel scale, numerically
+    # irrelevant), and every iteration blocks — no async pipelining for
+    # the relay to collapse. The per-dispatch block adds the ~ms relay
+    # round-trip to every step, so this number is slightly PESSIMISTIC
+    # vs a free-running device.
     @jax.jit
     def eval_step(variables, video, boxes, salt):
         return model.apply(
@@ -89,7 +92,7 @@ def measure(cfg, video, boxes, iters=10):
     t0 = time.perf_counter()
     for i in range(iters):
         out = eval_step(variables, video, boxes, jnp.float32(i))
-    out.block_until_ready()
+        out.block_until_ready()
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(out).all()), "non-finite logits in bench run"
     return video.shape[0] * iters / dt
