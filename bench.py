@@ -70,31 +70,33 @@ def measure(cfg, video, boxes, iters=10):
     )
     variables = random_params_like(shapes)
 
-    # Timing protocol: the axon relay memoises repeated dispatches with
-    # IDENTICAL argument values (BENCH_NOTES round 1 — it poisoned two
-    # interim measurements this round at 47k/26k "clips/s"), so every
-    # dispatch carries a distinct salt perturbing the input by ~1e-6
-    # absolute (above f32 rounding at pixel scale, numerically
-    # irrelevant), and every iteration blocks — no async pipelining for
-    # the relay to collapse. The per-dispatch block adds the ~ms relay
-    # round-trip to every step, so this number is slightly PESSIMISTIC
-    # vs a free-running device.
+    # Timing protocol for the axon relay (round-3 diagnostics,
+    # /tmp/bench_diag*): block_until_ready returns WITHOUT waiting on
+    # repeat executions, and repeated identical dispatches are memoised
+    # — only a host FETCH forces real execution. So: chain the
+    # iterations through a data dependence (each step's input includes
+    # the previous step's output; ~1e-5-relative perturbation, above
+    # f32 rounding at pixel scale) and FETCH once at the end — the
+    # fetch waits for the whole dependent chain, amortising the relay
+    # round trip over all iterations.
     @jax.jit
-    def eval_step(variables, video, boxes, salt):
-        return model.apply(
-            variables, video + salt * 1e-6, {"orvit_bboxes": boxes}
-        )
+    def eval_step(variables, video, boxes):
+        out = model.apply(variables, video, {"orvit_bboxes": boxes})
+        return out, video + out.mean().astype(video.dtype) * 1e-3
 
-    # compile + warmup
-    eval_step(variables, video, boxes, jnp.float32(-1)).block_until_ready()
-    eval_step(variables, video, boxes, jnp.float32(-2)).block_until_ready()
+    # compile + warmup (fetch-forced)
+    out, v = eval_step(variables, video, boxes)
+    np.asarray(out)
+    out, _ = eval_step(variables, v, boxes)
+    np.asarray(out)
 
+    v = video + 0.5e-6  # distinct chain start vs the warmup dispatches
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = eval_step(variables, video, boxes, jnp.float32(i))
-        out.block_until_ready()
+    for _ in range(iters):
+        out, v = eval_step(variables, v, boxes)
+    out_h = np.asarray(out)  # forces the full chain
     dt = time.perf_counter() - t0
-    assert bool(jnp.isfinite(out).all()), "non-finite logits in bench run"
+    assert np.isfinite(out_h).all(), "non-finite logits in bench run"
     return video.shape[0] * iters / dt
 
 

@@ -401,6 +401,167 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
     return out[:, :S]
 
 
+def _fused_kernel_v6(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
+                     o_ref, xs_ref, diag_ref, k2v_ref, *, scale, n_valid, f,
+                     h, bq):
+    """v6 = v4's structure with ONLY the stage-2 logits moved to the MXU.
+
+    v4's remaining VPU mass is the l2[q, f] = Σ_C (gs_h ⊙ xs_f) rowwise
+    reductions — h·f passes over [BQ, C] f32 (~38M VPU ops/cell). The
+    exact reassociation (v5's identity, isolated from v5's losing PV
+    restructure): with k2v = V @ Wk2 cached per batch row,
+
+      m_h          = q2_h · k2v_h^T        ([BQ, F·N_pad], 1 matmul/head)
+      l2[q, f]     = Σ_{n∈f} (p ⊙ m_h) / s[q, f]
+
+    because xs_f = (p_f / s_f) @ V. The final temporal mix stays v4's
+    cheap Σ_f a2_f ⊙ xs_f. Pad columns self-neutralise: V pad rows are
+    zero → k2v-side m is 0 where p is exp2(0)=1.
+
+    Stage-1 weights p and normalisers s are kept per head (f32 registers)
+    between stage 1 and stage 2, so this kernel fuses the two loops.
+    """
+    C = q_ref.shape[-1]
+    hd = C // h
+    n_pad = k_ref.shape[1] // f
+    qi = pl.program_id(1)
+    c = scale * _LOG2E
+    f32 = jnp.float32
+
+    tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    fq = tok // n_valid
+
+    @pl.when(qi == 0)
+    def _project_k2v():
+        k2v_ref[...] = jax.lax.dot_general(
+            v_ref[0], wk2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(k2v_ref.dtype)
+
+    # ---- stage 1 (v4 form): per head, QK over all frames at once ----
+    ps, ss = [], []
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        logits = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [BQ, F*N_pad]
+        p = jnp.exp2(jnp.minimum(logits * c, 110.0))
+        s_cols = []
+        for fi in range(f):
+            pf = p[:, fi * n_pad:(fi + 1) * n_pad]
+            s = jnp.maximum(
+                jnp.sum(pf[:, :n_valid], axis=-1, keepdims=True), 1e-30
+            )
+            s_cols.append(s)
+            o = jax.lax.dot_general(
+                pf.astype(v_ref.dtype),
+                v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            xs_ref[fi, :, sl] = (o / s).astype(xs_ref.dtype)
+        ps.append(p)
+        ss.append(jnp.concatenate(s_cols, axis=-1))  # [BQ, F]
+
+    # ---- diagonal collect (v4 form) ----
+    for fi in range(f):
+        inter = jnp.logical_and(
+            fi * n_valid < qi * bq + bq, (fi + 1) * n_valid > qi * bq
+        )
+
+        @pl.when(inter)
+        def _collect_diag(fi=fi):
+            diag_ref[...] = jnp.where(fq == fi, xs_ref[fi], diag_ref[...])
+
+    # ---- stage 2: logits via MXU ----
+    q2 = jax.lax.dot_general(
+        diag_ref[...], wq2_ref[...].astype(xs_ref.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    ) + bq2_ref[0].astype(f32)
+    q2 = (q2 * scale).astype(xs_ref.dtype)
+    outs = []
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        m = jax.lax.dot_general(
+            q2[:, sl], k2v_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [BQ, F*N_pad]
+        pm = ps[hi] * m
+        l2 = jnp.concatenate(
+            [
+                jnp.sum(
+                    pm[:, fi * n_pad:(fi + 1) * n_pad],
+                    axis=-1, keepdims=True,
+                )
+                for fi in range(f)
+            ],
+            axis=-1,
+        ) / ss[hi]  # [BQ, F]
+        m2 = jnp.max(l2, axis=-1, keepdims=True)
+        a2 = jnp.exp(l2 - m2)
+        a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
+        acc = jnp.zeros((bq, hd), f32)
+        for f2 in range(f):
+            acc = acc + a2[:, f2:f2 + 1] * xs_ref[f2, :, sl].astype(f32)
+        outs.append(acc)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fused_fwd_pallas_v6(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                         block_q: int = 256, interpret: bool = False):
+    """v6 wrapper: v4's grid/specs plus the per-row k2v VMEM cache."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, C = q.shape
+    F, N = kf.shape[1], kf.shape[2]
+    n_pad = _round_up(N, 128)
+    if n_pad != N:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    kf2 = kf.reshape(B, F * n_pad, C)
+    vf2 = vf.reshape(B, F * n_pad, C)
+    bq = min(block_q, _round_up(S, 8))
+    s_pad = _round_up(S, bq)
+    if s_pad != S:
+        q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
+    bq2_2d = bq2.reshape(1, C)
+    bk2_2d = bk2.reshape(1, C)
+
+    grid = (B, s_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel_v6, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((F, bq, C), q.dtype),
+            pltpu.VMEM((bq, C), q.dtype),
+            pltpu.VMEM((F * n_pad, C), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # b sequential so the qi==0 k2v fill precedes its consumers
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, kf2, vf2, wq2, bq2_2d, wk2, bk2_2d)
+    return out[:, :S]
+
+
 def _fused_kernel_v5(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
                      o_ref, k2v_ref, *, scale, n_valid, f, h, bq):
     """v5: the per-(head, frame) PV products are gone.
@@ -589,8 +750,11 @@ KERNEL_FLAGS = dict(nomax=True, inline_diag=False, stage2_bf16=False,
 
 # forward kernel version selector; measured on chip (BENCH_NOTES):
 # 3 = per-frame grid, 4 = frames-batched QK, 5 = fully frames-batched
-# (no per-frame PV launches)
-FWD_VERSION = 5
+# (no per-frame PV launches). v5 measured SLOWER than v4 under the
+# fetch-forced protocol (3.54 vs 2.76 ms/call, scripts/profile_v5.py)
+# — the extra full-width [BQ, F*N_pad] VPU passes cost more than the
+# per-frame MXU launches they remove; kept for A/B.
+FWD_VERSION = 4
 
 
 def _fwd_impl():
@@ -598,6 +762,7 @@ def _fwd_impl():
         3: _fused_fwd_pallas,
         4: _fused_fwd_pallas_v4,
         5: _fused_fwd_pallas_v5,
+        6: _fused_fwd_pallas_v6,
     }[FWD_VERSION]
 
 
@@ -713,7 +878,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
     (frame-major rows); dq [1, BQ, C] f32; dk/dv [1, F*N_pad, C] f32
     accumulated over q-blocks; dwq2/dwk2 [C, C] f32 and dbq2 [1, C] f32
     accumulated over every cell. Scratch: xs [F, BQ, C] bf16,
-    a [F, H, BQ, N_pad] bf16, dxs [F, BQ, C] f32, diag [BQ, C] bf16,
+    a [F, H, BQ, N_pad] bf16, dxs [F, BQ, C] bf16, diag [BQ, C] bf16,
     dz [BQ, F*N_pad] bf16, g [H, BQ, C] bf16.
     """
     C = q_ref.shape[-1]
@@ -863,7 +1028,10 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
             ],
             axis=1,
         )
-        dxs_ref[f2] = acc + aw * do32
+        # store bf16: pass C consumes dxs only after an .astype(bf16), so
+        # rounding at store time is bit-identical — and it halves the
+        # [F, BQ, C] scratch traffic (6.3 -> 3.1 MB/cell)
+        dxs_ref[f2] = (acc + aw * do32).astype(dxs_ref.dtype)
 
     if skip_c:  # ablation timing only (outputs invalid)
         return
@@ -959,7 +1127,7 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
         scratch_shapes=[
             pltpu.VMEM((F, bq, C), q.dtype),
             pltpu.VMEM((F, heads, bq, n_pad), q.dtype),
-            pltpu.VMEM((F, bq, C), f32),
+            pltpu.VMEM((F, bq, C), q.dtype),  # dxs (see store comment)
             pltpu.VMEM((bq, C), q.dtype),
             pltpu.VMEM((bq, F * n_pad), q.dtype),
             pltpu.VMEM((heads, bq, C), q.dtype),

@@ -3,6 +3,12 @@ program (per-dispatch overhead on the axon relay is ~3 ms and identical
 repeated calls can be memoised, so we chain data-dependent calls inside a
 single program and divide).
 
+Fetch-forced protocol (round-3 diagnostics): the relay's
+block_until_ready does not actually wait, so timing loops chain the
+dispatches through a data dependence (each iteration feeds the previous
+output back in) and finish with ONE host fetch that forces the whole
+chain.
+
 Usage: python scripts/profile_parts.py [part ...]
 Parts: kernel qkv proj mlp ln block orvit_extra
 """
@@ -27,12 +33,23 @@ N = S // F
 CHAIN = 48
 
 
+def _fetch(t):
+    return np.asarray(t if t.ndim < 3 else t[0, 0, :8])
+
+
 def _timed(fn, *args, iters=8, label=""):
+    """fn's first arg and return value must share a shape: iterations are
+    chained through it (distinct args defeat relay memoisation; the final
+    fetch forces the dependent chain)."""
     f = jax.jit(fn)
-    out = jax.block_until_ready(f(*args))
+    out = f(*args)
+    _fetch(out)  # compile + warmup
+    rest = args[1:]
     t0 = time.perf_counter()
+    cur = out
     for _ in range(iters):
-        out = jax.block_until_ready(f(*args))
+        cur = f(cur, *rest)
+    _fetch(cur)
     dt = (time.perf_counter() - t0) / iters
     print(f"{label}: {dt / CHAIN * 1000:.3f} ms/unit  ({dt * 1000:.1f} ms "
           f"for {CHAIN} chained)", flush=True)
@@ -55,9 +72,19 @@ def main():
         # dispatch-overhead floor: per-call cost of an (almost) empty
         # program through the relay, subtract from every row below
         def tiny(t):
-            return t[0, 0, :8] * 2.0
+            return t * 2.0 + 1.0
 
-        _timed(tiny, x, label="noop (dispatch floor, NOT /unit)")
+        f = jax.jit(tiny)
+        s = x[0, 0, :8]
+        _fetch(f(s))
+        t0 = time.perf_counter()
+        cur = s
+        for _ in range(8):
+            cur = f(cur)  # chained, fetched per-iter: measures round trip
+            _fetch(cur)
+        dt = (time.perf_counter() - t0) / 8
+        print(f"noop (per-dispatch fetch round trip): {dt * 1000:.1f} ms",
+              flush=True)
 
     if "kernel" in parts:
         from focus_tpu.ops.pallas.trajectory_block import fused_trajectory_core
@@ -87,10 +114,12 @@ def main():
 
         n = max(CHAIN // 8, 2)
         f = jax.jit(chain_kernel_bwd)
-        out = jax.block_until_ready(f(x, kf, vf))
+        out = f(x, kf, vf)
+        _fetch(out)
         t0 = time.perf_counter()
         for _ in range(4):
-            out = jax.block_until_ready(f(x, kf, vf))
+            out = f(out, kf, vf)  # chained through dq (same shape as q)
+        _fetch(out)
         dt = (time.perf_counter() - t0) / 4 / n * 1000
         print(f"fused kernel fwd+bwd (custom_vjp XLA recompute): "
               f"{dt:.3f} ms/unit", flush=True)
@@ -148,9 +177,9 @@ def main():
         shapes = jax.eval_shape(
             lambda: blk.init(jax.random.PRNGKey(0), xc, meta, (F, 14, 14))
         )
-        params = jax.tree_util.tree_map(
-            lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes
-        )
+        from bench import random_params_like
+
+        params = random_params_like(shapes)
 
         n_ch = max(CHAIN // 8, 3)
 
@@ -160,10 +189,12 @@ def main():
             return t
 
         f_ov = jax.jit(chain_orvit)
-        out = jax.block_until_ready(f_ov(xc))
+        out = f_ov(xc)
+        _fetch(out)
         t0 = time.perf_counter()
         for _ in range(6):
-            out = jax.block_until_ready(f_ov(xc))
+            out = f_ov(out)
+        _fetch(out)
         dt = (time.perf_counter() - t0) / 6 / n_ch * 1000
         print(f"ORViT block (full): {dt:.3f} ms/unit", flush=True)
 

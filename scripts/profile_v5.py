@@ -1,5 +1,9 @@
-"""A/B kernel v4 vs v5 on the real chip (chained-48 whole-jit protocol,
-same shapes and methodology as scripts/profile_kernel_variants.py)."""
+"""A/B kernel v4 vs v5 on the real chip.
+
+Chained-48 whole-jit protocol with a FETCH-forced finish: the axon
+relay's block_until_ready does not actually wait (round-3 diagnostics),
+so the jit returns a scalar reduction and the timing loop chains runs
+through a data dependence, fetching once per repetition."""
 
 import os
 import sys
@@ -35,6 +39,7 @@ def main():
     impls = {
         "v4": tb._fused_fwd_pallas_v4,
         "v5": tb._fused_fwd_pallas_v5,
+        "v6": tb._fused_fwd_pallas_v6,
     }
     for bq in bqs:
         for name, impl in impls.items():
@@ -42,16 +47,19 @@ def main():
                 for _ in range(CHAIN):
                     q = impl(q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h,
                              block_q=bq)
-                return q
+                return q, q.mean()
 
             f = jax.jit(chain)
-            out = jax.block_until_ready(f(x, kf, vf))
-            iters = 8
+            q, m = f(x, kf, vf)
+            float(np.asarray(m))  # fetch-forced warmup
+            iters = 6
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = jax.block_until_ready(f(x, kf, vf))
+                q, m = f(q, kf, vf)  # chained: q feeds the next call
+            mh = float(np.asarray(m))
             dt = (time.perf_counter() - t0) / iters / CHAIN * 1000
-            print(f"bq={bq} {name}: {dt:.3f} ms/call", flush=True)
+            print(f"bq={bq} {name}: {dt:.3f} ms/call (mean {mh:.5f})",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -41,16 +41,15 @@ def main():
                 name = md.name.split(" = ")[0] if " = " in md.name else md.name
                 tot[name] += ev.duration_ps / 1e9
                 cnt[name] += 1
-                if name not in meta:
-                    for st in ev.stats:
-                        if stats_meta.get(st.metadata_id) == "hlo_op":
-                            meta[name] = st.str_value
+                if name not in meta and " = " in md.name:
+                    meta[name] = md.name.split(" = ", 1)[1]
         items = sorted(tot.items(), key=lambda kv: -kv[1])
         total = sum(tot.values())
         print(f"PLANE {p.name}  accounted {total/steps:.1f} ms/step "
               f"(overlaps double-count; while bodies nest)")
         for k, v in items[:40]:
-            print(f"{v/steps:9.3f} ms/step x{cnt[k]//steps:5d}  {k[:100]}")
+            print(f"{v/steps:9.3f} ms/step x{cnt[k]//steps:5d}  {k[:60]:60s}"
+                  f"  {meta.get(k, '')[:110]}")
 
 
 if __name__ == "__main__":

@@ -1,12 +1,17 @@
 """Capture a jax.profiler device trace of the flagship eval step and
 summarise per-op device time from the xplane.
 
-Usage: python scripts/trace_eval.py [outdir]
+Honest protocol (round 3): random weights passed as jit arguments,
+exact-erf gelu (the headline numerics), and chained data-dependent
+dispatches finished by a host fetch — the relay memoises repeated
+identical dispatches and its block_until_ready does not wait, so the
+trace would otherwise capture zero real executions.
+
+Usage: python scripts/trace_eval.py [outdir] [fast_gelu]
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,12 +32,14 @@ import numpy as np
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/focus_trace"
+    fast_gelu = len(sys.argv) > 2 and sys.argv[2] == "fast_gelu"
     from focus_tpu.models.build import build_model
+    from bench import random_params_like
     import __graft_entry__ as ge
 
     cfg = ge._flagship_cfg()
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    cfg.TPU.FAST_GELU = True
+    cfg.TPU.FAST_GELU = fast_gelu
     model = build_model(cfg)
 
     B = 8
@@ -45,21 +52,24 @@ def main():
             video, {"orvit_bboxes": boxes},
         )
     )
-    variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes
-    )
+    variables = random_params_like(shapes)
 
     @jax.jit
-    def eval_step(video, boxes):
-        return model.apply(variables, video, {"orvit_bboxes": boxes})
+    def eval_step(variables, video, boxes):
+        o = model.apply(variables, video, {"orvit_bboxes": boxes})
+        return o, video + o.mean().astype(video.dtype) * 1e-3
 
-    eval_step(video, boxes).block_until_ready()
-    eval_step(video, boxes).block_until_ready()
+    o, v = eval_step(variables, video, boxes)
+    np.asarray(o)  # fetch-forced warmup (compile)
+    o, _ = eval_step(variables, v, boxes)
+    np.asarray(o)
 
     os.makedirs(out, exist_ok=True)
+    v = video + 0.5e-6
     jax.profiler.start_trace(out)
     for _ in range(3):
-        eval_step(video, boxes).block_until_ready()
+        o, v = eval_step(variables, v, boxes)
+    np.asarray(o)  # forces the chain inside the trace window
     jax.profiler.stop_trace()
     print("trace written to", out)
 

@@ -199,3 +199,47 @@ def test_steve_full_golden(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(attns), d["attns"].transpose(0, 1, 2, 4, 5, 3), atol=2e-5
     )
+
+
+def test_fast_gelu_delta_bounded():
+    """Recipe-flag numerics (round-2 verdict #10): TPU.FAST_GELU swaps
+    exact-erf gelu for the tanh form (fuses into the fc2 matmul at relu
+    cost — BENCH_NOTES). Pointwise the approximation is NOT bf16-ulp
+    equivalent (max abs 4.7e-4 but ~5% relative near the x~-2.7 dip;
+    ~8% of N(0,1) activations round to a different bf16), so it stays an
+    OPT-IN recipe flag, not the default. This (a) proves the flag really
+    switches the activation (the divergence region |x|~2-3 must show the
+    known pointwise gap) and (b) pins the end-to-end logit drift on the
+    executed-reference ORViT-MF fixture."""
+    from focus_tpu.models.motionformer import Mlp
+
+    # (a) unit probe on the divergence region
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    d_act = np.abs(
+        np.asarray(jax.nn.gelu(x, approximate=True))
+        - np.asarray(jax.nn.gelu(x, approximate=False))
+    ).max()
+    assert 3e-4 < d_act < 7e-4, d_act  # the documented 4.7e-4 gap
+    mlp = Mlp(hidden_features=8, fast_gelu=True)
+    mlp_erf = Mlp(hidden_features=8, fast_gelu=False)
+    vs = mlp_erf.init(jax.random.PRNGKey(0), x[:, None])
+    # identity-ish weights so the hidden units actually visit |x|~2-3,
+    # where the tanh/erf forms diverge (init-scale weights keep
+    # activations near 0 where both agree to ~1e-7)
+    vs = jax.tree_util.tree_map(jnp.ones_like, vs)
+    a = mlp.apply(vs, x[:, None])
+    b = mlp_erf.apply(vs, x[:, None])
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    # (b) end-to-end drift on the fixture (tiny init scale keeps its
+    # activations below the divergence region, so this bound is loose
+    # by construction; the flagship-scale drift is recorded in
+    # BENCH_NOTES from on-chip A/B logits)
+    d, sd = load("orvit_mf_full")
+    video = d["video"].transpose(0, 2, 3, 4, 1)
+    meta = {"orvit_bboxes": jnp.asarray(d["boxes"])}
+    cfg = mf_full_cfg(orvit_layers=(1,))
+    cfg.TPU.FAST_GELU = True
+    out = _import_and_apply(cfg, sd, video, meta)
+    delta = np.abs(np.asarray(out) - d["out"]).max()
+    assert delta < 5e-3, delta

@@ -19,17 +19,16 @@ def make_inputs(B=2, F=3, N=12, C=16, heads=4, seed=0):
     return q, kf, vf, wq2, bq2, wk2, bk2
 
 
-def test_fused_core_matches_xla():
-    from focus_tpu.ops.pallas.trajectory_block import (
-        _xla_reference,
-        fused_trajectory_core,
-    )
+@pytest.mark.parametrize("version", [3, 4, 5, 6])
+def test_fused_core_matches_xla(version, monkeypatch):
+    from focus_tpu.ops.pallas import trajectory_block as tb
 
+    monkeypatch.setattr(tb, "FWD_VERSION", version)
     args = make_inputs()
     heads = 4
     scale = (16 // heads) ** -0.5
-    ref = _xla_reference(*args, scale, heads)
-    out = fused_trajectory_core(*args, scale, heads, True)
+    ref = tb._xla_reference(*args, scale, heads)
+    out = tb.fused_trajectory_core(*args, scale, heads, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
@@ -83,15 +82,17 @@ def _extreme_inputs(sign, mag, B=1, F=2, N=12, C=16, heads=4, seed=7):
     return (q, kf, vf, wq2, bq2, wk2, bk2), scale
 
 
+@pytest.mark.parametrize("version", [4, 6])
 @pytest.mark.parametrize("sign,mag", [(-1.0, 25.0), (-1.0, 60.0), (1.0, 50.0)])
-def test_fused_core_extreme_logits(sign, mag):
+def test_fused_core_extreme_logits(sign, mag, version, monkeypatch):
     """Strongly negative valid logits used to cancel against the pad-count
     correction (s -> 0 -> inf/NaN); strongly positive ones stress the exp2
     clamp. Both must stay finite and match the max-subtracted XLA path."""
-    from focus_tpu.ops.pallas.trajectory_block import (
-        _xla_reference,
-        fused_trajectory_core,
-    )
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    monkeypatch.setattr(tb, "FWD_VERSION", version)
+    _xla_reference = tb._xla_reference
+    fused_trajectory_core = tb.fused_trajectory_core
 
     args, scale = _extreme_inputs(sign, mag)
     heads = 4
