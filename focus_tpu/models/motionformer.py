@@ -28,7 +28,12 @@ class Mlp(nn.Module):
     ``fast_gelu`` (cfg.TPU.FAST_GELU, threaded per-model through the
     block fields) selects the tanh gelu approximation: ~1e-4 absolute
     output delta for a much cheaper VPU path than the exact erf gelu
-    (the reference's torch GELU)."""
+    (the reference's torch GELU).
+
+    The default exact-erf path routes bf16 activations through
+    ``ops.hw_gelu`` — same numerics (exhaustively verified to round-
+    to-nearest of the true gelu, closer to truth than the ``lax.erf``
+    composition) on hardware tanh/exp2 instead of XLA's software erf."""
 
     hidden_features: int
     out_features: Optional[int] = None
@@ -41,7 +46,14 @@ class Mlp(nn.Module):
         out_dim = self.out_features or x.shape[-1]
         x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_02,
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=self.fast_gelu)
+        if self.fast_gelu:
+            x = nn.gelu(x, approximate=True)
+        else:
+            from focus_tpu.ops import hw_gelu as _hg
+
+            x = _hg.hw_gelu(x) if _hg.use_hw_gelu(x.dtype) else nn.gelu(
+                x, approximate=False
+            )
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(self.drop, deterministic=False)(x)
         x = nn.Dense(out_dim, kernel_init=trunc_normal_02, dtype=self.dtype,
@@ -442,6 +454,24 @@ class SelfAttentionBlock(nn.Module):
         return x, thw
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching _ConvAsMatmul's tree ("proj/kernel" in
+    conv layout) for paths that consume the raw kernel (Pallas patch
+    embed)."""
+
+    dim: int
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (*self.kshape, self.dim),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return k, b
+
+
 class _ConvAsMatmul(nn.Module):
     """Dense layer whose parameters keep nn.Conv's kernel layout
     ([*kshape, dim]) so checkpoints/importers are unaffected."""
@@ -469,19 +499,43 @@ class PatchEmbed3D(nn.Module):
     With stride == kernel (every Motionformer/MViT config) the conv is
     a non-overlapping patch projection — computed as reshape + matmul:
     XLA's conv emitter measured ~11 TFLOP/s on this shape in the device
-    trace where the dense form runs the MXU at full rate (~10x)."""
+    trace where the dense form runs the MXU at full rate (~10x).
+    On TPU the gather+matmul runs as one Pallas kernel
+    (ops/pallas/patch_embed.py) — the XLA permute costs ~2.7 ms/step in
+    layout copies at the flagship shape; the param tree ("proj/kernel"
+    in conv layout) is identical on every path."""
 
     dim: int
     kernel: tuple
     stride: tuple
+    use_pallas: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        import jax as _jax
+
         kt, kh, kw = self.kernel
         if tuple(self.kernel) == tuple(self.stride):
             B, T, H, W, C = x.shape
             t_, h_, w_ = T // kt, H // kh, W // kw
+            fused_ok = (
+                self.use_pallas
+                and _jax.default_backend() in ("tpu", "axon")
+                and C <= 8 and (kw * 8) % 128 == 0
+                and H % kh == 0 and W % kw == 0 and T >= kt
+            )
+            if fused_ok:
+                from focus_tpu.ops.pallas.patch_embed import patch_embed_3d
+
+                k, b = _ConvParams(
+                    self.dim, (kt, kh, kw, C), name="proj"
+                )()
+                dtype = self.dtype or x.dtype
+                tokens, thw = patch_embed_3d(
+                    x.astype(dtype), k, b, (kt, kh, kw)
+                )
+                return tokens, thw
             patches = x[:, : t_ * kt, : h_ * kh, : w_ * kw].reshape(
                 B, t_, kt, h_, kh, w_, kw, C
             ).transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
@@ -540,6 +594,7 @@ class Motionformer(nn.Module):
             self.embed_dim,
             (c.MF.PATCH_SIZE_TEMP, self.patch_size, self.patch_size),
             (c.MF.PATCH_SIZE_TEMP, self.patch_size, self.patch_size),
+            use_pallas=bool(c.TPU.USE_PALLAS),
             dtype=self.dtype,
         )
         self.cls_token = self.param(
