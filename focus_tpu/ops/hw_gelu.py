@@ -35,6 +35,7 @@ Reference semantics: torch ``nn.GELU()`` exact-erf gelu
 (/root/reference/slowfast/models/ORViT/utils.py:88).
 """
 
+import jax
 import jax.numpy as jnp
 
 XSPLIT = -3.0
@@ -66,6 +67,13 @@ TAIL = (
 ENABLED = True
 
 
+# polynomial derivatives (d/du and d/dx respectively)
+DCENTER = tuple((k + 1) * c for k, c in enumerate(CENTER[1:]))
+DTAIL = tuple((k + 1) * c for k, c in enumerate(TAIL[1:]))
+
+_LN2 = 0.6931471805599453
+
+
 def _poly(x, coeffs):
     acc = jnp.float32(coeffs[-1])
     for c in coeffs[-2::-1]:
@@ -73,12 +81,7 @@ def _poly(x, coeffs):
     return acc
 
 
-def hw_gelu(x):
-    """Exact-erf gelu for bf16 (or other sub-f32) activations.
-
-    Evaluates in f32 and rounds once at the end; see module docstring
-    for the exhaustive accuracy guarantee.
-    """
+def _hw_gelu_impl(x):
     xf = x.astype(jnp.float32)
     xp = jnp.minimum(xf, jnp.float32(XPOS))
     t = xp * _poly(xp * xp, CENTER)
@@ -88,6 +91,50 @@ def hw_gelu(x):
     return jnp.where(xf < jnp.float32(XSPLIT), g_tail, g_center).astype(
         x.dtype
     )
+
+
+@jax.custom_vjp
+def hw_gelu(x):
+    """Exact-erf gelu for bf16 (or other sub-f32) activations.
+
+    Evaluates in f32 and rounds once at the end; see module docstring
+    for the exhaustive accuracy guarantee.  custom_vjp: the backward
+    recomputes the analytic derivative from the saved LOW-PRECISION
+    input — XLA autodiff would otherwise stack the f32 upcast as a scan
+    residual (591 MB per 4-layer scan at the flagship train shape,
+    an instant OOM; the erf path it replaces also saves only bf16).
+    """
+    return _hw_gelu_impl(x)
+
+
+def _hw_gelu_fwd(x):
+    return _hw_gelu_impl(x), x
+
+
+def _hw_gelu_bwd(x, dy):
+    xf = x.astype(jnp.float32)
+    xp = jnp.minimum(xf, jnp.float32(XPOS))
+    u = xp * xp
+    p = _poly(u, CENTER)
+    t = xp * p
+    th = jnp.tanh(t)
+    # d t/d xp = p(u) + 2 u p'(u); the xp clamp's cut of the tanh term
+    # beyond XPOS is absorbed by (1 - th^2) ~ 6e-8 there
+    dt = p + jnp.float32(2.0) * u * _poly(u, DCENTER)
+    d_center = jnp.float32(0.5) * (jnp.float32(1.0) + th) + (
+        jnp.float32(0.5) * xf * (jnp.float32(1.0) - th * th) * dt
+    )
+    xc = jnp.maximum(xf, jnp.float32(XCLAMP))
+    # d/dx[-exp2(q)] = -ln2 exp2(q) q'; exp2 underflow zeroes it at the
+    # clamp, matching the true ~1e-44 derivative there
+    d_tail = -jnp.float32(_LN2) * jnp.exp2(_poly(xc, TAIL)) * _poly(
+        xc, DTAIL
+    )
+    g = jnp.where(xf < jnp.float32(XSPLIT), d_tail, d_center)
+    return ((dy.astype(jnp.float32) * g).astype(dy.dtype),)
+
+
+hw_gelu.defvjp(_hw_gelu_fwd, _hw_gelu_bwd)
 
 
 def use_hw_gelu(dtype) -> bool:
