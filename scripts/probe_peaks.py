@@ -86,8 +86,10 @@ def main():
     timed("bf16 matmul mlp-shape pair", mm2_chain, am, bm, bm2,
           unit_work=2.0 * M * K * Nn * 2, unit="FLOP")
 
-    # VPU exp2 throughput, f32 (the stage-1 softmax primitive)
-    S = (8, 2048, 768)
+    # VPU exp2 throughput, f32 (the stage-1 softmax primitive).
+    # NB: use a big array — at [8,2048,768] the per-op overhead dominated
+    # (fma "cost" 5x its HBM floor); [16,4096,768] amortises it.
+    S = (16, 4096, 768)
     xv = jnp.asarray(rs.randn(*S), jnp.float32)
 
     def exp_chain(xv):
@@ -116,6 +118,15 @@ def main():
         return x, x.mean()
 
     timed("f32 tanh (VPU)", tanh_chain, xv, unit_work=n, unit="tanh")
+
+    # f32 erf (XLA software path) for comparison
+    def erf_chain(xv):
+        x = xv
+        for _ in range(CHAIN):
+            x = jax.lax.erf(x) + 0.001
+        return x, x.mean()
+
+    timed("f32 erf (VPU, software)", erf_chain, xv, unit_work=n, unit="erf")
 
     # HBM stream: bf16 triad x = x*s + y  (2 reads + 1 write per elem)
     Sh = (64, 2048, 768)
