@@ -55,13 +55,17 @@ def main():
     def mm_chain(a, b):
         x = a
         for _ in range(CHAIN):
+            # preferred bf16: MXU converts on output — no separate
+            # epilogue pass (the earlier f32-accum + astype + rescale
+            # chain measured 116 TFLOP/s where the in-model fc1 fusion
+            # runs at 174 — the epilogue was the gap)
             x = jax.lax.dot_general(
                 x, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16) * 0.01
+                preferred_element_type=jnp.bfloat16,
+            )
         return x, x.mean()
 
-    timed("bf16 matmul 4096^3", mm_chain, a, b,
+    timed("bf16 matmul 4096^3 (no epilogue)", mm_chain, a, b,
           unit_work=2.0 * N * N * N, unit="FLOP")
 
     # model-shaped matmul (the MLP fc1 shape)
@@ -75,12 +79,12 @@ def main():
         for _ in range(CHAIN):
             h = jax.lax.dot_general(
                 x, bm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
+                preferred_element_type=jnp.bfloat16,
+            )
             x = jax.lax.dot_general(
                 h, bm2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16) * 0.01
+                preferred_element_type=jnp.bfloat16,
+            )
         return x, x.mean()
 
     timed("bf16 matmul mlp-shape pair", mm2_chain, am, bm, bm2,
