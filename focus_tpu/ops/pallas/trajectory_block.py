@@ -227,7 +227,8 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 
 def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
                      o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq,
-                     skip_stage2=False, stage2_k2mm=False):
+                     skip_stage2=False, stage2_k2mm=False,
+                     prescale_q=False):
     """v4: stage-1 QK batched across frames.
 
     v3's grid is (b, q_block, frame) with one [BQ, hd] x [hd, N] matmul
@@ -255,12 +256,25 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
     # ---- stage 1: per head, QK over all frames at once ----
     for hi in range(h):
         sl = slice(hi * hd, (hi + 1) * hd)
-        logits = jax.lax.dot_general(
-            q_ref[0, :, sl], k_ref[0, :, sl],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, F*N_pad]
-        p = jnp.exp2(jnp.minimum(logits * c, 110.0))
+        if prescale_q:
+            # fold the exp2 softmax constant into the [BQ, hd] MXU
+            # operand (32x narrower than the [BQ, F*N_pad] logit matrix
+            # the multiply otherwise sweeps); costs one extra bf16
+            # rounding of q*c — the same numerics class as the bf16
+            # kernel inputs themselves
+            qs = q_ref[0, :, sl] * jnp.asarray(c, q_ref.dtype)
+            logits = jax.lax.dot_general(
+                qs, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp2(jnp.minimum(logits, 110.0))
+        else:
+            logits = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, :, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, F*N_pad]
+            p = jnp.exp2(jnp.minimum(logits * c, 110.0))
         for fi in range(f):
             pf = p[:, fi * n_pad:(fi + 1) * n_pad]
             # valid-column slice-sum: no pad-count cancellation (see v3)
@@ -350,7 +364,8 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
                          block_q: int = 256, interpret: bool = False,
                          skip_stage2: bool = False,
-                         stage2_k2mm: bool = False):
+                         stage2_k2mm: bool = False,
+                         prescale_q: bool = False):
     """v4 wrapper: grid (b, q_block); keys/values frame-concatenated."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -375,6 +390,7 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
         functools.partial(
             _fused_kernel_v4, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
             skip_stage2=skip_stage2, stage2_k2mm=stage2_k2mm,
+            prescale_q=prescale_q,
         ),
         grid=grid,
         in_specs=[

@@ -36,8 +36,11 @@ def main():
     w_cc = jnp.asarray(rs.randn(C, C) * 0.02, bf)
     b_c = jnp.zeros((C,), bf)
 
+    import functools as ft
+
     impls = {
         "v4": tb._fused_fwd_pallas_v4,
+        "v4ps": ft.partial(tb._fused_fwd_pallas_v4, prescale_q=True),
         "v5": tb._fused_fwd_pallas_v5,
         "v6": tb._fused_fwd_pallas_v6,
     }

@@ -32,6 +32,20 @@ def test_fused_core_matches_xla(version, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_fused_core_v4_prescale_q_matches_xla():
+    """prescale_q A/B flag (exp2 constant folded into the MXU operand;
+    measured neutral on-chip, BENCH_NOTES round 3) must stay exact."""
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    args = make_inputs(seed=3)
+    heads = 4
+    scale = (16 // heads) ** -0.5
+    ref = tb._xla_reference(*args, scale, heads)
+    out = tb._fused_fwd_pallas_v4(*args, scale, heads, interpret=True,
+                                  prescale_q=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_fused_core_grad_matches_xla():
     from focus_tpu.ops.pallas.trajectory_block import (
         _xla_reference,
