@@ -36,3 +36,22 @@ def import_dataset_modules(modules=DATASET_MODULES):
 
 
 import_dataset_modules()
+
+
+def _register_ptv_aliases():
+    """The reference's pytorchvideo dataset constructors (reference
+    ``slowfast/datasets/ptv_datasets.py``: Ptvkinetics/Ptvssv2/
+    Ptvcharades) build the same datasets through an optional torch
+    library; resolve those TRAIN/TEST.DATASET names to the native
+    loaders so the ``configs/Kinetics/pytorchvideo`` zoo runs."""
+    from focus_tpu.datasets.build import DATASET_REGISTRY
+
+    for alias, target in (("Ptvkinetics", "Kinetics"),
+                          ("Ptvssv2", "Ssv2"),
+                          ("Ptvcharades", "Charades")):
+        if target in DATASET_REGISTRY and alias not in DATASET_REGISTRY:
+            DATASET_REGISTRY.register(DATASET_REGISTRY.get(target),
+                                      name=alias)
+
+
+_register_ptv_aliases()
