@@ -499,8 +499,11 @@ _DEFAULTS = {
     "TPU": {
         # dtype for activations under jit ("bfloat16" or "float32").
         "COMPUTE_DTYPE": "bfloat16",
-        # mesh axis sizes; -1 on DATA means "all devices".
-        "MESH": {"DATA": -1, "MODEL": 1},
+        # mesh axis sizes; -1 on DATA means "all devices". SEQ > 1
+        # shards the token axis of transformer activations (sequence
+        # parallelism — LN/MLP/projections run token-sharded; GSPMD
+        # gathers k/v where attention needs the full sequence).
+        "MESH": {"DATA": -1, "MODEL": 1, "SEQ": 1},
         # number of device-prefetch buffers for the input pipeline.
         "PREFETCH": 2,
         # use Pallas kernels for hot ops when running on TPU.

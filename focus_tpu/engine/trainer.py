@@ -168,7 +168,9 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
         )
     else:
         kw = dict(in_shardings=(None, data, data, data, None))
-    return jax.jit(train_step, donate_argnums=(0,), **kw)
+    return mesh_lib.mesh_context(
+        jax.jit(train_step, donate_argnums=(0,), **kw), mesh
+    )
 
 
 def make_supervised_eval_step(model, cfg, mesh):
@@ -185,7 +187,9 @@ def make_supervised_eval_step(model, cfg, mesh):
         return model.apply(variables, video, metadata, train=False)
 
     data = mesh_lib.batch_sharded(mesh)
-    return jax.jit(eval_step, in_shardings=(None, data, data))
+    return mesh_lib.mesh_context(
+        jax.jit(eval_step, in_shardings=(None, data, data)), mesh
+    )
 
 
 def _split_batch(batch):

@@ -589,12 +589,17 @@ class Motionformer(nn.Module):
         self.depth = c.MF.DEPTH
         self.temporal_resolution = c.MF.TEMPORAL_RESOLUTION
         self.num_base_patches = (224 // self.patch_size) ** 2
+        # sequence parallelism shards the token axis; the Pallas kernels
+        # are single-device programs, so sp runs the XLA attention path,
+        # which GSPMD partitions from the shard_tokens constraints
+        self.seq_shard = int(getattr(c.TPU.MESH, "SEQ", 1)) > 1
+        use_pallas = bool(c.TPU.USE_PALLAS) and not self.seq_shard
 
         self.patch_embed_3d = PatchEmbed3D(
             self.embed_dim,
             (c.MF.PATCH_SIZE_TEMP, self.patch_size, self.patch_size),
             (c.MF.PATCH_SIZE_TEMP, self.patch_size, self.patch_size),
-            use_pallas=bool(c.TPU.USE_PALLAS),
+            use_pallas=use_pallas,
             dtype=self.dtype,
         )
         self.cls_token = self.param(
@@ -638,7 +643,7 @@ class Motionformer(nn.Module):
                 dim=self.embed_dim, num_heads=c.MF.NUM_HEADS,
                 mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
                 drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
-                drop_path_rate=dpr[i], use_pallas=bool(c.TPU.USE_PALLAS),
+                drop_path_rate=dpr[i], use_pallas=use_pallas,
                 fast_gelu=fast_gelu, dtype=self.dtype, name=f"blocks_{i}",
             )
 
@@ -662,7 +667,7 @@ class Motionformer(nn.Module):
                         num_heads=c.MF.NUM_HEADS, mlp_ratio=c.MF.MLP_RATIO,
                         qkv_bias=c.MF.QKV_BIAS, drop=c.MF.DROP,
                         attn_drop=c.MF.ATTN_DROPOUT, dpr=tuple(dpr[i:j]),
-                        use_pallas=bool(c.TPU.USE_PALLAS),
+                        use_pallas=use_pallas,
                         fast_gelu=fast_gelu,
                         remat=bool(getattr(c.TPU, "REMAT", False)),
                         dtype=self.dtype,
@@ -728,8 +733,14 @@ class Motionformer(nn.Module):
         """x: [B, T, H, W, C] -> pooled feature [B, d]."""
         c = self.cfg
         tokens, thw = self.tokenize(x, train=train)
+        if self.seq_shard:
+            from focus_tpu.parallel.mesh import shard_tokens
+
+            tokens = shard_tokens(tokens)
         for blk in self.blocks:
             tokens, _ = blk(tokens, metadata, thw, deterministic=not train)
+            if self.seq_shard:
+                tokens = shard_tokens(tokens)
         feat = self.norm(tokens)[:, 0]
         if c.MF.USE_MLP:
             feat = self.head_act(self.pre_logits_fc(feat))

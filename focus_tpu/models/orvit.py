@@ -182,7 +182,9 @@ class ORViTBlock(nn.Module):
         all_tokens, _ = TrajectoryAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
             self.drop, use_original_code=True,
-            use_pallas=bool(c.TPU.USE_PALLAS), dtype=self.dtype, name="attn",
+            use_pallas=bool(c.TPU.USE_PALLAS)
+            and not int(getattr(c.TPU.MESH, "SEQ", 1)) > 1,
+            dtype=self.dtype, name="attn",
         )(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(all_tokens),
             (T, H * W + O, 1),

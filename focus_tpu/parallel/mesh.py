@@ -21,6 +21,7 @@ logger = logging.get_logger(__name__)
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def init_distributed(cfg) -> None:
@@ -59,13 +60,51 @@ def build_mesh(cfg=None, devices=None) -> Mesh:
         else:
             devices = jax.devices()
     devices = np.asarray(devices)
-    model = 1
+    model, seq = 1, 1
     if cfg is not None:
         model = max(int(cfg.TPU.MESH.MODEL), 1)
+        seq = max(int(getattr(cfg.TPU.MESH, "SEQ", 1)), 1)
     n = devices.size
-    assert n % model == 0, f"{n} devices not divisible by model axis {model}"
-    grid = devices.reshape(n // model, model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    assert n % (model * seq) == 0, (
+        f"{n} devices not divisible by model axis {model} x seq axis {seq}"
+    )
+    grid = devices.reshape(n // (model * seq), seq, model)
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+
+
+def has_seq_axis(mesh: Mesh) -> bool:
+    return dict(mesh.shape).get(SEQ_AXIS, 1) > 1
+
+
+def shard_tokens(x):
+    """Constrain a [B, N, C] token tensor to (data, seq, -) sharding —
+    the sequence-parallel activation layout (LN/MLP/projections run
+    token-sharded; GSPMD inserts the k/v all-gathers attention needs).
+    Requires an active mesh context (``with mesh:``) at trace time; the
+    jitted steps from engine/trainer.py provide it when the mesh has a
+    seq axis. Outside a mesh context (e.g. parameter init, single-chip
+    serving of an sp-configured checkpoint) the constraint is a no-op."""
+    ctx = jax.sharding.get_abstract_mesh()
+    if ctx is None or ctx.empty or SEQ_AXIS not in ctx.shape:
+        return x
+    return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, SEQ_AXIS, None))
+
+
+def mesh_context(fn, mesh: Mesh):
+    """Wrap a jitted step so bare-PartitionSpec sharding constraints
+    (shard_tokens) can resolve the mesh at trace time. Identity when no
+    seq axis is active."""
+    if not has_seq_axis(mesh):
+        return fn
+
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.set_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
