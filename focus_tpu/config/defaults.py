@@ -503,7 +503,13 @@ _DEFAULTS = {
         # shards the token axis of transformer activations (sequence
         # parallelism — LN/MLP/projections run token-sharded; GSPMD
         # gathers k/v where attention needs the full sequence).
-        "MESH": {"DATA": -1, "MODEL": 1, "SEQ": 1},
+        # PIPE > 1 pipeline-parallelises a homogeneous transformer stack
+        # (GPipe-style circular pipeline over the 'pipe' mesh axis;
+        # requires MF depth % PIPE == 0 and no ORViT interleave).
+        # PIPE_MICROBATCHES: microbatches per step (0 -> PIPE); bubble
+        # fraction is (PIPE-1)/(M+PIPE-1).
+        "MESH": {"DATA": -1, "MODEL": 1, "SEQ": 1, "PIPE": 1,
+                 "PIPE_MICROBATCHES": 0},
         # number of device-prefetch buffers for the input pipeline.
         "PREFETCH": 2,
         # use Pallas kernels for hot ops when running on TPU.

@@ -396,6 +396,194 @@ class ScannedTrajBlocks(nn.Module):
         return x, thw
 
 
+class _PipeStageStack(nn.Module):
+    """One pipeline stage: its layers_per_stage trajectory blocks run as
+    an nn.scan with stacked params ([layers, ...] leaves)."""
+
+    layers: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    thw: Any
+    deterministic: bool
+    use_original_code: bool = True
+    use_pallas: bool = False
+    fast_gelu: bool = False
+    remat: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, dpr_stage):
+        body = _TrajBlockScanBody
+        if self.remat:
+            body = nn.remat(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                prevent_cse=False,
+            )
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            length=self.layers,
+        )
+        x, _ = scan(
+            dim=self.dim, num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            drop=self.drop, attn_drop=self.attn_drop, thw=tuple(self.thw),
+            deterministic=self.deterministic,
+            use_original_code=self.use_original_code,
+            use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            dtype=self.dtype, name="layers",
+        )(x, dpr_stage)
+        return x
+
+
+class _PipeTick(nn.Module):
+    """One pipeline tick: feed stage 0 with the next microbatch, run all
+    stages as ONE vmapped computation (the stage axis of params and
+    activations is sharded over the mesh 'pipe' axis, so each stage's
+    compute stays on its own devices), emit the last stage's output and
+    rotate the ring buffer (jnp.roll on a pipe-sharded axis lowers to a
+    collective-permute)."""
+
+    stages: int
+    layers_per_stage: int
+    dpr: Any
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    thw: Any
+    deterministic: bool
+    use_original_code: bool = True
+    use_pallas: bool = False
+    fast_gelu: bool = False
+    remat: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, state, feed):
+        from focus_tpu.parallel.mesh import shard_pipeline_state
+
+        state = state.at[0].set(feed.astype(state.dtype))
+        state = shard_pipeline_state(state)
+        dpr = jnp.asarray(list(self.dpr), jnp.float32).reshape(
+            self.stages, self.layers_per_stage
+        )
+        stages = nn.vmap(
+            _PipeStageStack,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, 0),
+            out_axes=0,
+        )
+        out = stages(
+            layers=self.layers_per_stage, dim=self.dim,
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, drop=self.drop,
+            attn_drop=self.attn_drop, thw=tuple(self.thw),
+            deterministic=self.deterministic,
+            use_original_code=self.use_original_code,
+            use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            remat=self.remat, dtype=self.dtype, name="pipe_stages",
+        )(state, dpr)
+        out = shard_pipeline_state(out)
+        y = out[-1]
+        return jnp.roll(out, 1, axis=0), y
+
+
+class PipelinedTrajBlocks(nn.Module):
+    """Pipeline-parallel execution of a homogeneous trajectory-attention
+    stack over the mesh 'pipe' axis — a TPU scaling extension (the
+    reference is DDP-only, slowfast/utils/distributed.py).
+
+    GSPMD circular-pipeline formulation (no shard_map): parameters carry
+    a leading [stages, layers_per_stage] axis whose stage dim is sharded
+    over 'pipe' (parallel/mesh.py state_shardings); activations live in a
+    [stages, microbatch, N, C] ring buffer with the same leading
+    sharding. Each tick runs every stage as one vmapped computation and
+    rotates the ring; microbatch m emerges from the last stage at tick
+    m + stages - 1, so M microbatches finish in M + stages - 1 ticks
+    (bubble fraction (stages-1)/(M+stages-1)). Composes with the data
+    and model mesh axes; parameter memory per device scales 1/stages.
+
+    Call/param layout differs from ScannedTrajBlocks ([L, ...] leaves
+    under 'body'); parallel/pipeline.py converts between the two, so
+    checkpoints trained either way interchange."""
+
+    stages: int
+    microbatches: int
+    length: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dpr: Any = ()  # per-layer stochastic-depth rates, length == length
+    use_original_code: bool = True
+    use_pallas: bool = False
+    fast_gelu: bool = False
+    remat: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, metadata, thw, deterministic: bool = True):
+        from focus_tpu.parallel.mesh import shard_pipeline_state
+
+        stages, m = self.stages, self.microbatches
+        if self.length % stages:
+            raise ValueError(
+                f"depth {self.length} not divisible by {stages} pipeline "
+                f"stages (TPU.MESH.PIPE)"
+            )
+        b, n, c = x.shape
+        if b % m:
+            raise ValueError(
+                f"batch {b} not divisible by {m} pipeline microbatches "
+                f"(TPU.MESH.PIPE_MICROBATCHES)"
+            )
+        x_mb = x.reshape(m, b // m, n, c)
+        if stages > 1:
+            # drain-tick feeds are dummies: their outputs would emerge at
+            # tick >= M + stages - 1 and are never collected
+            feeds = jnp.concatenate(
+                [x_mb, jnp.broadcast_to(x_mb[-1:], (stages - 1,) + x_mb.shape[1:])],
+                axis=0,
+            )
+        else:
+            feeds = x_mb
+        state0 = shard_pipeline_state(
+            jnp.zeros((stages, b // m, n, c), x.dtype)
+        )
+        ticks = nn.scan(
+            _PipeTick,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            length=m + stages - 1,
+        )
+        _, ys = ticks(
+            stages=stages, layers_per_stage=self.length // stages,
+            dpr=tuple(self.dpr), dim=self.dim, num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            drop=self.drop, attn_drop=self.attn_drop, thw=tuple(thw),
+            deterministic=deterministic,
+            use_original_code=self.use_original_code,
+            use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            remat=self.remat, dtype=self.dtype, name="ticks",
+        )(state0, feeds)
+        return ys[stages - 1:].reshape(b, n, c), thw
+
+
 class SelfAttention(nn.Module):
     """Joint space-time MHA (reference attention.py:355-385)."""
 
@@ -647,8 +835,33 @@ class Motionformer(nn.Module):
                 fast_gelu=fast_gelu, dtype=self.dtype, name=f"blocks_{i}",
             )
 
-        blocks = []
-        i = 0
+        pipe = max(int(getattr(c.TPU.MESH, "PIPE", 1)), 1)
+        if pipe > 1:
+            orvit_layers = set(c.ORVIT.LAYERS) if c.ORVIT.ENABLE else set()
+            if orvit_layers:
+                raise ValueError(
+                    "TPU.MESH.PIPE > 1 needs a homogeneous block stack; "
+                    "ORViT interleave breaks stage homogeneity — use the "
+                    "data/model/seq axes for ORViT models"
+                )
+            micro = max(
+                int(getattr(c.TPU.MESH, "PIPE_MICROBATCHES", 0)), 0
+            ) or pipe
+            blocks = [
+                PipelinedTrajBlocks(
+                    stages=pipe, microbatches=micro, length=self.depth,
+                    dim=self.embed_dim, num_heads=c.MF.NUM_HEADS,
+                    mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
+                    drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
+                    dpr=tuple(dpr), use_pallas=use_pallas,
+                    fast_gelu=fast_gelu,
+                    remat=bool(getattr(c.TPU, "REMAT", False)),
+                    dtype=self.dtype, name=f"blocks_0_{self.depth - 1}",
+                )
+            ]
+        else:
+            blocks = []
+        i = 0 if not blocks else self.depth
         while i < self.depth:
             if i in c.ORVIT.LAYERS:
                 blocks.append(make_orvit(i))

@@ -22,6 +22,7 @@ logger = logging.get_logger(__name__)
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 
 
 def init_distributed(cfg) -> None:
@@ -60,20 +61,43 @@ def build_mesh(cfg=None, devices=None) -> Mesh:
         else:
             devices = jax.devices()
     devices = np.asarray(devices)
-    model, seq = 1, 1
+    model, seq, pipe = 1, 1, 1
     if cfg is not None:
         model = max(int(cfg.TPU.MESH.MODEL), 1)
         seq = max(int(getattr(cfg.TPU.MESH, "SEQ", 1)), 1)
+        pipe = max(int(getattr(cfg.TPU.MESH, "PIPE", 1)), 1)
     n = devices.size
-    assert n % (model * seq) == 0, (
-        f"{n} devices not divisible by model axis {model} x seq axis {seq}"
+    assert not (seq > 1 and pipe > 1), (
+        "sequence and pipeline parallelism each compose with data/model "
+        "axes but not with each other (shard_tokens' token constraint "
+        "conflicts with the pipeline microbatch layout)"
     )
-    grid = devices.reshape(n // (model * seq), seq, model)
-    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+    assert n % (model * seq * pipe) == 0, (
+        f"{n} devices not divisible by model axis {model} x seq axis {seq}"
+        f" x pipe axis {pipe}"
+    )
+    grid = devices.reshape(n // (model * seq * pipe), pipe, seq, model)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def has_seq_axis(mesh: Mesh) -> bool:
     return dict(mesh.shape).get(SEQ_AXIS, 1) > 1
+
+
+def has_pipe_axis(mesh: Mesh) -> bool:
+    return dict(mesh.shape).get(PIPE_AXIS, 1) > 1
+
+
+def shard_pipeline_state(x):
+    """Constrain a [stages, microbatch, ...] pipeline buffer to
+    (pipe, data, ...) sharding so each pipeline stage's activations live
+    on that stage's devices (models/motionformer.py PipelinedTrajBlocks).
+    No-op outside a mesh context or when the mesh has no pipe axis."""
+    ctx = jax.sharding.get_abstract_mesh()
+    if ctx is None or ctx.empty or PIPE_AXIS not in ctx.shape:
+        return x
+    spec = P(PIPE_AXIS, DATA_AXIS, *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def shard_tokens(x):
@@ -92,9 +116,9 @@ def shard_tokens(x):
 
 def mesh_context(fn, mesh: Mesh):
     """Wrap a jitted step so bare-PartitionSpec sharding constraints
-    (shard_tokens) can resolve the mesh at trace time. Identity when no
-    seq axis is active."""
-    if not has_seq_axis(mesh):
+    (shard_tokens, shard_pipeline_state) can resolve the mesh at trace
+    time. Identity when neither a seq nor a pipe axis is active."""
+    if not has_seq_axis(mesh) and not has_pipe_axis(mesh):
         return fn
 
     import functools
@@ -133,38 +157,49 @@ _COL_PARALLEL = {"qkv", "fc1"}
 _ROW_PARALLEL = {"proj", "fc2"}
 
 
-def _tp_spec(path, leaf, model_size: int):
+def _param_spec(path, leaf, model_size: int, pipe_size: int):
     names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     ndim = getattr(leaf, "ndim", 0)
-    col = any(n in _COL_PARALLEL for n in names)
-    row = any(n in _ROW_PARALLEL for n in names)
-    is_kernel = names and names[-1] == "kernel"
-    is_bias = names and names[-1] == "bias"
-    # kernels: 2D dense or 3D scanned-stack ([layers, in, out]) only —
-    # conv kernels (patch embed 'proj') stay replicated
-    if col and is_kernel and ndim in (2, 3):
-        if leaf.shape[-1] % model_size == 0:
-            return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
-    elif col and is_bias and ndim in (1, 2):
-        if leaf.shape[-1] % model_size == 0:
-            return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
-    elif row and is_kernel and ndim in (2, 3):
-        if leaf.shape[-2] % model_size == 0:
-            return P(*([None] * (ndim - 2) + [MODEL_AXIS, None]))
-    return P()
+    spec = [None] * ndim
+    # pipeline-parallel stacks carry a leading [stages, ...] axis
+    # (PipelinedTrajBlocks names its stage vmap 'pipe_stages')
+    if pipe_size > 1 and "pipe_stages" in names and ndim >= 1:
+        if leaf.shape[0] == pipe_size:
+            spec[0] = PIPE_AXIS
+    if model_size > 1:
+        col = any(n in _COL_PARALLEL for n in names)
+        row = any(n in _ROW_PARALLEL for n in names)
+        is_kernel = names and names[-1] == "kernel"
+        is_bias = names and names[-1] == "bias"
+        # kernels: 2D dense, 3D scanned-stack ([layers, in, out]) or 4D
+        # pipelined stack ([stages, layers, in, out]) — conv kernels
+        # (patch embed 'proj') stay replicated
+        if col and is_kernel and 2 <= ndim <= 4:
+            if leaf.shape[-1] % model_size == 0:
+                spec[-1] = MODEL_AXIS
+        elif col and is_bias and 1 <= ndim <= 3:
+            if leaf.shape[-1] % model_size == 0:
+                spec[-1] = MODEL_AXIS
+        elif row and is_kernel and 2 <= ndim <= 4:
+            if leaf.shape[-2] % model_size == 0:
+                spec[-2] = MODEL_AXIS
+    if not any(spec):
+        return P()
+    return P(*spec)
 
 
 def state_shardings(mesh: Mesh, state):
     """Per-leaf NamedShardings for a TrainState: tensor-parallel specs on
-    the recognised dense layers (params AND their optimizer moments —
-    the rules match path suffixes, which the adamw mu/nu trees share),
-    replicated elsewhere."""
+    the recognised dense layers and pipeline-stage specs on pipelined
+    stacks (params AND their optimizer moments — the rules match path
+    suffixes, which the adamw mu/nu trees share), replicated elsewhere."""
     model_size = mesh.shape[MODEL_AXIS]
-    if model_size <= 1:
+    pipe_size = dict(mesh.shape).get(PIPE_AXIS, 1)
+    if model_size <= 1 and pipe_size <= 1:
         return replicated(mesh)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, _tp_spec(path, leaf, model_size)
+            mesh, _param_spec(path, leaf, model_size, pipe_size)
         ),
         state,
     )

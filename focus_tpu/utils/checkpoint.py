@@ -104,10 +104,25 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str, state_template: Any):
-    """Restore a pytree saved by save_checkpoint. Returns (state, epoch)."""
+    """Restore a pytree saved by save_checkpoint. Returns (state, epoch).
+
+    Checkpoints saved under one block-stack layout (scanned [L,...] vs
+    pipeline-parallel [stages, L/stages, ...], see parallel/pipeline.py)
+    restore into a template using the other: on a structural mismatch the
+    raw tree is re-laid-out to match the template before binding."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    state = serialization.from_bytes(state_template, payload["state"])
+    try:
+        state = serialization.from_bytes(state_template, payload["state"])
+    except (ValueError, KeyError):
+        from focus_tpu.parallel import pipeline as pipe_lib
+
+        raw = serialization.msgpack_restore(payload["state"])
+        tmpl = serialization.to_state_dict(state_template)
+        raw = pipe_lib.convert_state_dict_layout(raw, tmpl)
+        state = serialization.from_state_dict(state_template, raw)
+        logger.info("Converted checkpoint block-stack layout to match the "
+                    "current parallelism config")
     logger.info(f"Loaded checkpoint from {path} (epoch {payload['epoch']})")
     return state, payload["epoch"]
 
