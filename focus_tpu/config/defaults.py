@@ -509,7 +509,13 @@ _DEFAULTS = {
         # PIPE_MICROBATCHES: microbatches per step (0 -> PIPE); bubble
         # fraction is (PIPE-1)/(M+PIPE-1).
         "MESH": {"DATA": -1, "MODEL": 1, "SEQ": 1, "PIPE": 1,
-                 "PIPE_MICROBATCHES": 0},
+                 "PIPE_MICROBATCHES": 0, "EXPERT": 1},
+        # Mixture-of-Experts block MLPs (models/moe.py): NUM_EXPERTS > 1
+        # replaces the transformer MLPs with Switch-style top-1-routed
+        # expert FFNs; MESH.EXPERT shards the expert dim (expert
+        # parallelism). A TPU scaling extension beyond the reference.
+        "MOE": {"NUM_EXPERTS": 0, "CAPACITY_FACTOR": 1.25,
+                "AUX_LOSS_WEIGHT": 0.01},
         # number of device-prefetch buffers for the input pipeline.
         "PREFETCH": 2,
         # use Pallas kernels for hot ops when running on TPU.

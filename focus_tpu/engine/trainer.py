@@ -113,6 +113,21 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
     is_ek = cfg.TRAIN.DATASET == "epickitchens"
     detection = cfg.DETECTION.ENABLE
     use_mixup = cfg.MIXUP.ENABLE and not is_ek and not detection
+    moe_cfg = getattr(cfg.TPU, "MOE", None)
+    moe_on = int(getattr(moe_cfg, "NUM_EXPERTS", 0) or 0) > 1
+    moe_aux_w = float(getattr(moe_cfg, "AUX_LOSS_WEIGHT", 0.0)) if moe_on else 0.0
+
+    def _moe_aux(new_vars):
+        """Switch load-balance loss, averaged over all sown MoE scalars
+        (models/moe.py sows one per expert MLP — per layer; under
+        pipeline parallelism also per stage and per tick). The mean
+        keeps the penalty magnitude independent of depth and of the
+        parallelism layout."""
+        leaves = jax.tree_util.tree_leaves(new_vars.get("moe", {}))
+        if not leaves:
+            return jnp.float32(0.0)
+        count = sum(int(np.prod(leaf.shape)) for leaf in leaves)
+        return sum(jnp.sum(leaf) for leaf in leaves) / max(count, 1)
 
     def train_step(state, video, labels, metadata, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
@@ -126,24 +141,31 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
             has_bn = state.batch_stats is not None
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
+            cols = (["batch_stats"] if has_bn else []) + (
+                ["moe"] if moe_on else []
+            )
             if detection:
                 out = model.apply(
                     variables, video, metadata, metadata["boxes"],
                     train=True, rngs={"dropout": rng},
-                    mutable=["batch_stats"] if has_bn else False,
+                    mutable=cols if cols else False,
                 )
-                preds, new_vars = out if has_bn else (out, {})
+                preds, new_vars = out if cols else (out, {})
                 loss = _detection_loss(
                     preds, labels, metadata["boxes_mask"]
                 )
+                if moe_on:
+                    loss = loss + moe_aux_w * _moe_aux(new_vars)
                 return loss, (preds, new_vars)
             out = model.apply(
                 variables, video, metadata, train=True,
                 rngs={"dropout": rng},
-                mutable=["batch_stats"] if has_bn else False,
+                mutable=cols if cols else False,
             )
-            preds, new_vars = out if has_bn else (out, {})
+            preds, new_vars = out if cols else (out, {})
             loss = loss_fn(preds, labels)
+            if moe_on:
+                loss = loss + moe_aux_w * _moe_aux(new_vars)
             return loss, (preds, new_vars)
 
         (loss, (preds, new_vars)), grads = jax.value_and_grad(

@@ -267,6 +267,25 @@ class TrajectoryAttention(nn.Module):
         return out, thw
 
 
+def _block_mlp(dim, mlp_ratio, drop, fast_gelu, dtype, moe_experts,
+               moe_capacity):
+    """The block MLP: dense (reference semantics) or, when
+    cfg.TPU.MOE.NUM_EXPERTS > 1, the Switch-routed MoE extension
+    (models/moe.py)."""
+    if moe_experts > 1:
+        from focus_tpu.models.moe import MoEMlp
+
+        return MoEMlp(
+            int(dim * mlp_ratio), num_experts=moe_experts,
+            capacity_factor=moe_capacity, drop=drop,
+            fast_gelu=fast_gelu, dtype=dtype, name="mlp",
+        )
+    return Mlp(
+        int(dim * mlp_ratio), drop=drop, fast_gelu=fast_gelu,
+        dtype=dtype, name="mlp",
+    )
+
+
 class TrajectoryAttentionBlock(nn.Module):
     """(reference attention.py:443-476)"""
 
@@ -280,6 +299,8 @@ class TrajectoryAttentionBlock(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
     dtype: Any = None
 
     @nn.compact
@@ -294,10 +315,8 @@ class TrajectoryAttentionBlock(nn.Module):
         )
         dp = DropPath(self.drop_path_rate, name="drop_path")
         x = x + dp(y, deterministic=deterministic)
-        y = Mlp(
-            int(self.dim * self.mlp_ratio), drop=self.drop,
-            fast_gelu=self.fast_gelu, dtype=self.dtype, name="mlp",
-        )(
+        y = _block_mlp(self.dim, self.mlp_ratio, self.drop, self.fast_gelu,
+                       self.dtype, self.moe_experts, self.moe_capacity)(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,
         )
@@ -321,6 +340,8 @@ class _TrajBlockScanBody(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
     dtype: Any = None
 
     @nn.compact
@@ -335,8 +356,8 @@ class _TrajBlockScanBody(nn.Module):
         )
         dp = DropPath(name="drop_path")
         x = x + dp(y, deterministic=self.deterministic, rate=dpr_i)
-        y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
-                fast_gelu=self.fast_gelu, dtype=self.dtype, name="mlp")(
+        y = _block_mlp(self.dim, self.mlp_ratio, self.drop, self.fast_gelu,
+                       self.dtype, self.moe_experts, self.moe_capacity)(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=self.deterministic,
         )
@@ -362,6 +383,8 @@ class ScannedTrajBlocks(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
     remat: bool = False
     dtype: Any = None
 
@@ -378,7 +401,7 @@ class ScannedTrajBlocks(nn.Module):
             )
         scan = nn.scan(
             body,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "moe": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=0,
             length=self.length,
@@ -391,6 +414,7 @@ class ScannedTrajBlocks(nn.Module):
             deterministic=deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             dtype=self.dtype, name="body",
         )(x, dpr)
         return x, thw
@@ -412,6 +436,8 @@ class _PipeStageStack(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
     remat: bool = False
     dtype: Any = None
 
@@ -426,7 +452,7 @@ class _PipeStageStack(nn.Module):
             )
         scan = nn.scan(
             body,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "moe": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=0,
             length=self.layers,
@@ -438,6 +464,7 @@ class _PipeStageStack(nn.Module):
             deterministic=self.deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             dtype=self.dtype, name="layers",
         )(x, dpr_stage)
         return x
@@ -465,6 +492,8 @@ class _PipeTick(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
     remat: bool = False
     dtype: Any = None
 
@@ -479,7 +508,7 @@ class _PipeTick(nn.Module):
         )
         stages = nn.vmap(
             _PipeStageStack,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "moe": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, 0),
             out_axes=0,
@@ -492,6 +521,7 @@ class _PipeTick(nn.Module):
             deterministic=self.deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             remat=self.remat, dtype=self.dtype, name="pipe_stages",
         )(state, dpr)
         out = shard_pipeline_state(out)
@@ -531,6 +561,8 @@ class PipelinedTrajBlocks(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
     remat: bool = False
     dtype: Any = None
 
@@ -566,6 +598,7 @@ class PipelinedTrajBlocks(nn.Module):
         ticks = nn.scan(
             _PipeTick,
             variable_broadcast="params",
+            variable_axes={"moe": 0},
             split_rngs={"params": False, "dropout": True},
             in_axes=0,
             out_axes=0,
@@ -579,6 +612,7 @@ class PipelinedTrajBlocks(nn.Module):
             deterministic=deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             remat=self.remat, dtype=self.dtype, name="ticks",
         )(state0, feeds)
         return ys[stages - 1:].reshape(b, n, c), thw
@@ -825,6 +859,9 @@ class Motionformer(nn.Module):
             )
 
         fast_gelu = bool(getattr(c.TPU, "FAST_GELU", False))
+        moe_cfg = getattr(c.TPU, "MOE", None)
+        moe_experts = int(getattr(moe_cfg, "NUM_EXPERTS", 0) or 0)
+        moe_capacity = float(getattr(moe_cfg, "CAPACITY_FACTOR", 1.25))
 
         def make_traj(i):
             return TrajectoryAttentionBlock(
@@ -832,7 +869,9 @@ class Motionformer(nn.Module):
                 mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
                 drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
                 drop_path_rate=dpr[i], use_pallas=use_pallas,
-                fast_gelu=fast_gelu, dtype=self.dtype, name=f"blocks_{i}",
+                fast_gelu=fast_gelu, moe_experts=moe_experts,
+                moe_capacity=moe_capacity,
+                dtype=self.dtype, name=f"blocks_{i}",
             )
 
         pipe = max(int(getattr(c.TPU.MESH, "PIPE", 1)), 1)
@@ -854,7 +893,8 @@ class Motionformer(nn.Module):
                     mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
                     drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
                     dpr=tuple(dpr), use_pallas=use_pallas,
-                    fast_gelu=fast_gelu,
+                    fast_gelu=fast_gelu, moe_experts=moe_experts,
+                    moe_capacity=moe_capacity,
                     remat=bool(getattr(c.TPU, "REMAT", False)),
                     dtype=self.dtype, name=f"blocks_0_{self.depth - 1}",
                 )
@@ -881,7 +921,8 @@ class Motionformer(nn.Module):
                         qkv_bias=c.MF.QKV_BIAS, drop=c.MF.DROP,
                         attn_drop=c.MF.ATTN_DROPOUT, dpr=tuple(dpr[i:j]),
                         use_pallas=use_pallas,
-                        fast_gelu=fast_gelu,
+                        fast_gelu=fast_gelu, moe_experts=moe_experts,
+                        moe_capacity=moe_capacity,
                         remat=bool(getattr(c.TPU, "REMAT", False)),
                         dtype=self.dtype,
                         name=f"blocks_{i}_{j - 1}",

@@ -23,6 +23,7 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
 PIPE_AXIS = "pipe"
+EXPERT_AXIS = "expert"
 
 
 def init_distributed(cfg) -> None:
@@ -61,23 +62,26 @@ def build_mesh(cfg=None, devices=None) -> Mesh:
         else:
             devices = jax.devices()
     devices = np.asarray(devices)
-    model, seq, pipe = 1, 1, 1
+    model, seq, pipe, expert = 1, 1, 1, 1
     if cfg is not None:
         model = max(int(cfg.TPU.MESH.MODEL), 1)
         seq = max(int(getattr(cfg.TPU.MESH, "SEQ", 1)), 1)
         pipe = max(int(getattr(cfg.TPU.MESH, "PIPE", 1)), 1)
+        expert = max(int(getattr(cfg.TPU.MESH, "EXPERT", 1)), 1)
     n = devices.size
     assert not (seq > 1 and pipe > 1), (
         "sequence and pipeline parallelism each compose with data/model "
         "axes but not with each other (shard_tokens' token constraint "
         "conflicts with the pipeline microbatch layout)"
     )
-    assert n % (model * seq * pipe) == 0, (
+    denom = model * seq * pipe * expert
+    assert n % denom == 0, (
         f"{n} devices not divisible by model axis {model} x seq axis {seq}"
-        f" x pipe axis {pipe}"
+        f" x pipe axis {pipe} x expert axis {expert}"
     )
-    grid = devices.reshape(n // (model * seq * pipe), pipe, seq, model)
-    return Mesh(grid, (DATA_AXIS, PIPE_AXIS, SEQ_AXIS, MODEL_AXIS))
+    grid = devices.reshape(n // denom, pipe, seq, model, expert)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS, SEQ_AXIS, MODEL_AXIS,
+                       EXPERT_AXIS))
 
 
 def has_seq_axis(mesh: Mesh) -> bool:
@@ -114,11 +118,30 @@ def shard_tokens(x):
     return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, SEQ_AXIS, None))
 
 
+def has_expert_axis(mesh: Mesh) -> bool:
+    return dict(mesh.shape).get(EXPERT_AXIS, 1) > 1
+
+
+def shard_expert_acts(x):
+    """Constrain a [B, E, cap, ...] expert-dispatched activation tensor
+    to (data, expert, ...) sharding — each device group runs its own
+    experts; GSPMD inserts the token all-to-alls at the dispatch/combine
+    einsums (models/moe.py). No-op outside a mesh context or when the
+    mesh has no expert axis."""
+    ctx = jax.sharding.get_abstract_mesh()
+    if ctx is None or ctx.empty or EXPERT_AXIS not in ctx.shape:
+        return x
+    spec = P(DATA_AXIS, EXPERT_AXIS, *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def mesh_context(fn, mesh: Mesh):
     """Wrap a jitted step so bare-PartitionSpec sharding constraints
-    (shard_tokens, shard_pipeline_state) can resolve the mesh at trace
-    time. Identity when neither a seq nor a pipe axis is active."""
-    if not has_seq_axis(mesh) and not has_pipe_axis(mesh):
+    (shard_tokens, shard_pipeline_state, shard_expert_acts) can resolve
+    the mesh at trace time. Identity when no seq/pipe/expert axis is
+    active."""
+    if (not has_seq_axis(mesh) and not has_pipe_axis(mesh)
+            and not has_expert_axis(mesh)):
         return fn
 
     import functools
@@ -157,7 +180,8 @@ _COL_PARALLEL = {"qkv", "fc1"}
 _ROW_PARALLEL = {"proj", "fc2"}
 
 
-def _param_spec(path, leaf, model_size: int, pipe_size: int):
+def _param_spec(path, leaf, model_size: int, pipe_size: int,
+                expert_size: int = 1):
     names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     ndim = getattr(leaf, "ndim", 0)
     spec = [None] * ndim
@@ -166,6 +190,16 @@ def _param_spec(path, leaf, model_size: int, pipe_size: int):
     if pipe_size > 1 and "pipe_stages" in names and ndim >= 1:
         if leaf.shape[0] == pipe_size:
             spec[0] = PIPE_AXIS
+    # MoE expert stacks (models/moe.py _Experts): the expert dim sits at
+    # -3 of kernels / -2 of biases under any scan/pipeline wrapping
+    if expert_size > 1 and "experts" in names and names:
+        leaf_name = names[-1]
+        if leaf_name.startswith("kernel") and ndim >= 3:
+            if leaf.shape[-3] % expert_size == 0:
+                spec[-3] = EXPERT_AXIS
+        elif leaf_name.startswith("bias") and ndim >= 2:
+            if leaf.shape[-2] % expert_size == 0:
+                spec[-2] = EXPERT_AXIS
     if model_size > 1:
         col = any(n in _COL_PARALLEL for n in names)
         row = any(n in _ROW_PARALLEL for n in names)
@@ -195,11 +229,13 @@ def state_shardings(mesh: Mesh, state):
     suffixes, which the adamw mu/nu trees share), replicated elsewhere."""
     model_size = mesh.shape[MODEL_AXIS]
     pipe_size = dict(mesh.shape).get(PIPE_AXIS, 1)
-    if model_size <= 1 and pipe_size <= 1:
+    expert_size = dict(mesh.shape).get(EXPERT_AXIS, 1)
+    if model_size <= 1 and pipe_size <= 1 and expert_size <= 1:
         return replicated(mesh)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, _param_spec(path, leaf, model_size, pipe_size)
+            mesh,
+            _param_spec(path, leaf, model_size, pipe_size, expert_size),
         ),
         state,
     )

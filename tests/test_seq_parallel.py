@@ -65,7 +65,9 @@ def _one_step(model_axis, seq_axis, B=8):
 def test_shard_tokens_places_seq_axis():
     cfg = _tiny_cfg(seq_axis=2)
     mesh = mesh_lib.build_mesh(cfg, devices=jax.devices()[:8])
-    assert dict(mesh.shape) == {"data": 4, "pipe": 1, "seq": 2, "model": 1}
+    assert dict(mesh.shape) == {
+        "data": 4, "pipe": 1, "seq": 2, "model": 1, "expert": 1,
+    }
     assert mesh_lib.has_seq_axis(mesh)
     f = mesh_lib.mesh_context(jax.jit(mesh_lib.shard_tokens), mesh)
     y = f(jnp.zeros((4, 32, 8)))
