@@ -100,9 +100,36 @@ def measure(cfg, video, boxes, iters=10):
     return video.shape[0] * iters / dt
 
 
+def _require_devices(timeout_s=900):
+    """Fail fast if device init hangs: the axon relay has a failure mode
+    where ``jax.devices()`` blocks forever on a stale chip claim
+    (round-3 outage). A hung bench would stall the whole driver run;
+    exiting nonzero records an honest failure instead."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps({
+                    "error": f"device init exceeded {timeout_s}s "
+                             f"(relay down?)"
+                }),
+                flush=True,
+            )
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    devices = jax.devices()
+    done.set()
+    return devices
+
+
 def main():
     import __graft_entry__ as ge
 
+    _require_devices()
     B = 8
     rs = np.random.RandomState(0)
     video = jnp.asarray(rs.rand(B, 16, 224, 224, 3), jnp.float32)

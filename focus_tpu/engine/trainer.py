@@ -175,6 +175,8 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
         if state.batch_stats is not None:
             new_state = new_state.replace(batch_stats=new_vars["batch_stats"])
         stats = {"loss": loss}
+        if moe_on:
+            stats["moe_aux"] = _moe_aux(new_vars)
         if not is_ek and not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
             logits = preds[0] if isinstance(preds, tuple) else preds
             if getattr(hard_labels, "ndim", 1) == 1:

@@ -68,6 +68,26 @@ def test_pipeline_forward_matches_scanned():
     )
 
 
+def test_pipeline_forward_matches_scanned_more_microbatches():
+    """M > stages (smaller bubble fraction) reproduces the same logits."""
+    video = _video(B=4)
+    cfg_s = _plain_mf_cfg(pipe=1)
+    model_s = build_model(cfg_s)
+    variables = model_s.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        video, {},
+    )
+    out_s = model_s.apply(variables, video, {})
+
+    cfg_p = _plain_mf_cfg(pipe=2, microbatches=4)
+    model_p = build_model(cfg_p)
+    params_p = pipe_lib.to_pipelined(variables["params"], stages=2)
+    out_p = model_p.apply({"params": params_p}, video, {})
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_s), atol=1e-5
+    )
+
+
 def test_pipeline_layout_roundtrip():
     video = _video(B=4)
     cfg = _plain_mf_cfg(pipe=1)
