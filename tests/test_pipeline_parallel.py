@@ -248,6 +248,30 @@ def test_pp_tp_matches_dp_loss():
 
 
 @needs8
+def test_tpu_example_yamls_build_their_meshes():
+    """The shipped configs/TPU examples produce the documented meshes."""
+    import os
+
+    from focus_tpu.config import assert_and_infer_cfg, get_cfg
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "TPU",
+    )
+    for fname, want in [
+        ("SSv2_ORViT-MF_224_16x4_dp_sp_tp.yaml",
+         {"data": 2, "pipe": 1, "seq": 2, "model": 2, "expert": 1}),
+        ("SSv2_MF_224_16x4_pp_moe.yaml",
+         {"data": 2, "pipe": 2, "seq": 1, "model": 1, "expert": 2}),
+    ]:
+        cfg = get_cfg()
+        cfg.merge_from_file(os.path.join(root, fname))
+        assert_and_infer_cfg(cfg)
+        mesh = mesh_lib.build_mesh(cfg, devices=jax.devices()[:8])
+        assert dict(mesh.shape) == want, (fname, dict(mesh.shape))
+
+
+@needs8
 def test_pp_eval_matches_dp():
     def run_eval(pipe):
         cfg = _plain_mf_cfg(pipe=pipe)
