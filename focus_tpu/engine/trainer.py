@@ -118,16 +118,18 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
     moe_aux_w = float(getattr(moe_cfg, "AUX_LOSS_WEIGHT", 0.0)) if moe_on else 0.0
 
     def _moe_aux(new_vars):
-        """Switch load-balance loss, averaged over all sown MoE scalars
-        (models/moe.py sows one per expert MLP — per layer; under
-        pipeline parallelism also per stage and per tick). The mean
-        keeps the penalty magnitude independent of depth and of the
-        parallelism layout."""
+        """Switch load-balance loss: weighted mean over all sown
+        (aux*w, w) pairs (models/moe.py — one per expert MLP; under
+        pipeline parallelism also per stage and per tick, with w=0 on
+        bubble ticks). The mean keeps the penalty magnitude independent
+        of depth and of the parallelism layout, and the weights keep
+        router gradients off discarded pipeline-bubble work."""
         leaves = jax.tree_util.tree_leaves(new_vars.get("moe", {}))
         if not leaves:
             return jnp.float32(0.0)
-        count = sum(int(np.prod(leaf.shape)) for leaf in leaves)
-        return sum(jnp.sum(leaf) for leaf in leaves) / max(count, 1)
+        num = sum(jnp.sum(leaf[..., 0]) for leaf in leaves)
+        den = sum(jnp.sum(leaf[..., 1]) for leaf in leaves)
+        return num / jnp.maximum(den, 1e-9)
 
     def train_step(state, video, labels, metadata, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
@@ -434,7 +436,7 @@ def train(cfg):
 
     loss_fn = losses_lib.get_loss_func(cfg)
     state_sharding = mesh_lib.state_shardings(mesh, state)
-    if mesh.shape[mesh_lib.MODEL_AXIS] <= 1:
+    if not mesh_lib.has_param_sharding(mesh):
         state_sharding = None  # pure DP: keep the unpinned signature
     train_step = make_supervised_train_step(
         model, cfg, mesh, loss_fn, state_sharding=state_sharding
@@ -472,7 +474,7 @@ def train(cfg):
                     cfg, mesh, state, cur_epoch
                 )
                 state_sharding = mesh_lib.state_shardings(mesh, state)
-                if mesh.shape[mesh_lib.MODEL_AXIS] <= 1:
+                if not mesh_lib.has_param_sharding(mesh):
                     state_sharding = None
                 train_step = make_supervised_train_step(
                     model, cfg, mesh, loss_fn, state_sharding=state_sharding

@@ -86,7 +86,12 @@ class MoEMlp(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, sow_weight=1.0):
+        """``sow_weight`` scales this call's contribution to the sown
+        load-balance statistics — the pipeline wrapper passes 0 for
+        bubble ticks (warm-up/drain work whose outputs are discarded) so
+        the auxiliary loss and its router gradients come only from real
+        microbatches."""
         from focus_tpu.parallel.mesh import shard_expert_acts
 
         b, n, d = x.shape
@@ -105,13 +110,16 @@ class MoEMlp(nn.Module):
         mask = nn.one_hot(idx, e, dtype=jnp.float32)  # [B, N, E]
 
         # Switch load-balance loss: E * sum_e(token_fraction_e * prob_e).
-        # Overwrite reduce_fn (not tuple-append): nn.scan traces its body
-        # twice, which would duplicate appended values.
+        # Sown as a (weighted value, weight) pair so the trainer can take
+        # a weighted mean across layers/stages/ticks. Overwrite reduce_fn
+        # (not tuple-append): nn.scan traces its body twice, which would
+        # duplicate appended values.
         aux = e * jnp.sum(
             jnp.mean(mask, axis=(0, 1)) * jnp.mean(probs, axis=(0, 1))
         )
-        self.sow("moe", "load_balance", aux,
-                 init_fn=lambda: jnp.float32(0.0),
+        w = jnp.asarray(sow_weight, jnp.float32)
+        self.sow("moe", "load_balance", jnp.stack([aux * w, w]),
+                 init_fn=lambda: jnp.zeros(2, jnp.float32),
                  reduce_fn=lambda _, b: b)
 
         # position within the chosen expert; tokens over capacity drop

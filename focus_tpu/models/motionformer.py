@@ -345,7 +345,7 @@ class _TrajBlockScanBody(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, dpr_i):
+    def __call__(self, x, dpr_i, moe_w=1.0):
         y, _ = TrajectoryAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
             self.drop, self.use_original_code, use_pallas=self.use_pallas,
@@ -356,10 +356,13 @@ class _TrajBlockScanBody(nn.Module):
         )
         dp = DropPath(name="drop_path")
         x = x + dp(y, deterministic=self.deterministic, rate=dpr_i)
+        mlp_kwargs = (
+            {"sow_weight": moe_w} if self.moe_experts > 1 else {}
+        )
         y = _block_mlp(self.dim, self.mlp_ratio, self.drop, self.fast_gelu,
                        self.dtype, self.moe_experts, self.moe_capacity)(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
-            deterministic=self.deterministic,
+            deterministic=self.deterministic, **mlp_kwargs,
         )
         x = x + dp(y, deterministic=self.deterministic, rate=dpr_i)
         return x, None
@@ -442,7 +445,7 @@ class _PipeStageStack(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, dpr_stage):
+    def __call__(self, x, dpr_stage, moe_w=1.0):
         body = _TrajBlockScanBody
         if self.remat:
             body = nn.remat(
@@ -454,7 +457,7 @@ class _PipeStageStack(nn.Module):
             body,
             variable_axes={"params": 0, "moe": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=0,
+            in_axes=(0, nn.broadcast),
             length=self.layers,
         )
         x, _ = scan(
@@ -466,7 +469,7 @@ class _PipeStageStack(nn.Module):
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
             moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             dtype=self.dtype, name="layers",
-        )(x, dpr_stage)
+        )(x, dpr_stage, moe_w)
         return x
 
 
@@ -498,9 +501,11 @@ class _PipeTick(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, state, feed):
+    def __call__(self, state, xs):
         from focus_tpu.parallel.mesh import shard_pipeline_state
 
+        feed, valid = xs  # valid: [stages] 1.0 where this tick's work
+        # on that stage is a real microbatch (not warm-up/drain bubble)
         state = state.at[0].set(feed.astype(state.dtype))
         state = shard_pipeline_state(state)
         dpr = jnp.asarray(list(self.dpr), jnp.float32).reshape(
@@ -510,7 +515,7 @@ class _PipeTick(nn.Module):
             _PipeStageStack,
             variable_axes={"params": 0, "moe": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(0, 0),
+            in_axes=(0, 0, 0),
             out_axes=0,
         )
         out = stages(
@@ -523,7 +528,7 @@ class _PipeTick(nn.Module):
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
             moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             remat=self.remat, dtype=self.dtype, name="pipe_stages",
-        )(state, dpr)
+        )(state, dpr, valid)
         out = shard_pipeline_state(out)
         y = out[-1]
         return jnp.roll(out, 1, axis=0), y
@@ -595,6 +600,14 @@ class PipelinedTrajBlocks(nn.Module):
         state0 = shard_pipeline_state(
             jnp.zeros((stages, b // m, n, c), x.dtype)
         )
+        # valid[t, s] = stage s runs microbatch t-s at tick t; warm-up
+        # (t < s) and drain (t-s >= m) work is pipeline bubble whose
+        # outputs are discarded — MoE aux statistics are masked with it
+        ticks_idx = jnp.arange(m + stages - 1)[:, None]
+        stage_idx = jnp.arange(stages)[None, :]
+        valid = (
+            (ticks_idx - stage_idx >= 0) & (ticks_idx - stage_idx < m)
+        ).astype(jnp.float32)
         ticks = nn.scan(
             _PipeTick,
             variable_broadcast="params",
@@ -614,7 +627,7 @@ class PipelinedTrajBlocks(nn.Module):
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
             moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             remat=self.remat, dtype=self.dtype, name="ticks",
-        )(state0, feeds)
+        )(state0, (feeds, valid))
         return ys[stages - 1:].reshape(b, n, c), thw
 
 
@@ -815,7 +828,13 @@ class Motionformer(nn.Module):
         # are single-device programs, so sp runs the XLA attention path,
         # which GSPMD partitions from the shard_tokens constraints
         self.seq_shard = int(getattr(c.TPU.MESH, "SEQ", 1)) > 1
-        use_pallas = bool(c.TPU.USE_PALLAS) and not self.seq_shard
+        pipe_shard = int(getattr(c.TPU.MESH, "PIPE", 1)) > 1
+        # (and pp vmaps each stage over a pipe-sharded axis — the fused
+        # kernel can't be GSPMD-partitioned there either, so pp also
+        # takes the XLA attention path)
+        use_pallas = (
+            bool(c.TPU.USE_PALLAS) and not self.seq_shard and not pipe_shard
+        )
 
         self.patch_embed_3d = PatchEmbed3D(
             self.embed_dim,

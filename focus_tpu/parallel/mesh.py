@@ -122,6 +122,19 @@ def has_expert_axis(mesh: Mesh) -> bool:
     return dict(mesh.shape).get(EXPERT_AXIS, 1) > 1
 
 
+def has_param_sharding(mesh: Mesh) -> bool:
+    """True when state_shardings produces non-replicated placements —
+    any of the model/pipe/expert axes is active. Callers that pin the
+    TrainState sharding through jit must do so exactly when this holds
+    (a pure-DP mesh keeps the unpinned signature)."""
+    shape = dict(mesh.shape)
+    return (
+        shape.get(MODEL_AXIS, 1) > 1
+        or shape.get(PIPE_AXIS, 1) > 1
+        or shape.get(EXPERT_AXIS, 1) > 1
+    )
+
+
 def shard_expert_acts(x):
     """Constrain a [B, E, cap, ...] expert-dispatched activation tensor
     to (data, expert, ...) sharding — each device group runs its own

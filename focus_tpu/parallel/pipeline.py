@@ -41,25 +41,37 @@ def to_pipelined(params, stages: int):
                 and parent_key.startswith("blocks_")
                 and isinstance(v, dict)
             ):
-                def split(leaf):
-                    n_layers = leaf.shape[0]
-                    if n_layers % stages:
-                        raise ValueError(
-                            f"stack of {n_layers} layers not divisible "
-                            f"by {stages} pipeline stages"
-                        )
-                    return leaf.reshape(
-                        (stages, n_layers // stages) + leaf.shape[1:]
-                    )
-
                 out["ticks"] = {
-                    "pipe_stages": {"layers": _reshape_tree(v, split)}
+                    "pipe_stages": {
+                        "layers": _reshape_tree(v, _split_leaf(stages))
+                    }
                 }
             else:
                 out[k] = walk(v, k)
         return out
 
     return walk(params)
+
+
+def pipelined_stages(params) -> int:
+    """Stage count of the first pipelined block stack in ``params``, or
+    0 when the tree uses the scanned/flat layout."""
+    if not isinstance(params, dict):
+        return 0
+    for k, v in params.items():
+        if (
+            k == "ticks"
+            and isinstance(v, dict)
+            and "pipe_stages" in v
+        ):
+            leaves = jax.tree_util.tree_leaves(v)
+            if leaves:
+                return int(leaves[0].shape[0])
+        if isinstance(v, dict):
+            found = pipelined_stages(v)
+            if found:
+                return found
+    return 0
 
 
 def _split_leaf(stages):
@@ -144,12 +156,7 @@ def from_pipelined(params):
                 and "pipe_stages" in v
             ):
                 sub = v["pipe_stages"]["layers"]
-                out["body"] = _reshape_tree(
-                    sub,
-                    lambda leaf: leaf.reshape(
-                        (leaf.shape[0] * leaf.shape[1],) + leaf.shape[2:]
-                    ),
-                )
+                out["body"] = _reshape_tree(sub, _merge_leaf)
             else:
                 out[k] = walk(v, k)
         return out

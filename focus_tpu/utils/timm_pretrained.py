@@ -185,9 +185,19 @@ def load_into_state(cfg, state):
         target_patch_kernel=tuple(cfg.MVIT.PATCH_KERNEL),
         num_frames=cfg.DATA.NUM_FRAMES,
     )
-    new_params, report = import_torch_params(
-        sd, state.params, allow_missing=True
+    # import against the scanned view when the model is pipeline-parallel
+    # (same dance as torch_import.load_into_state)
+    from focus_tpu.parallel import pipeline as pipe_lib
+
+    pipe_stages = pipe_lib.pipelined_stages(state.params)
+    template_params = (
+        pipe_lib.from_pipelined(state.params) if pipe_stages else state.params
     )
+    new_params, report = import_torch_params(
+        sd, template_params, allow_missing=True
+    )
+    if pipe_stages:
+        new_params = pipe_lib.to_pipelined(new_params, pipe_stages)
     logger.info(
         f"timm pretrained: {len(report['loaded'])} loaded, "
         f"{len(report['missing'])} missing, {len(report['unused'])} unused"

@@ -348,11 +348,23 @@ def load_into_state(path: str, state_template, cfg, state_dict=None):
         clear_patterns=tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN or ()),
         replace_patterns=tuple(cfg.TRAIN.CHECKPOINT_REPLACE_NAME_PATTERN or ()),
     )
+    # torch name maps target the scanned [L, ...] stack layout; when the
+    # template is pipeline-parallel ([stages, L/stages, ...] under
+    # 'ticks', parallel/pipeline.py), import against the scanned view
+    # and re-split afterwards
+    from focus_tpu.parallel import pipeline as pipe_lib
+
+    pipe_stages = pipe_lib.pipelined_stages(state_template.params)
+    template_params = (
+        pipe_lib.from_pipelined(state_template.params)
+        if pipe_stages
+        else state_template.params
+    )
     if cfg.TRAIN.CHECKPOINT_INFLATE:
-        sd = inflate_2d_to_3d(sd, state_template.params)
+        sd = inflate_2d_to_3d(sd, template_params)
     new_params, _ = import_torch_params(
         sd,
-        state_template.params,
+        template_params,
         split_qkv=bool(getattr(cfg, "SPLIT_QKV_CHECKPOINT", False)),
         orvit_attn_from_backbone=bool(cfg.ORVIT.LOAD_ORVIT_ATTN_LAYERS_FROM_BB)
         if cfg.ORVIT.ENABLE
@@ -363,6 +375,8 @@ def load_into_state(path: str, state_template, cfg, state_dict=None):
     new_params = _unflatten(
         {p: jnp.asarray(v) for p, v in _flatten(new_params).items()}
     )
+    if pipe_stages:
+        new_params = pipe_lib.to_pipelined(new_params, pipe_stages)
     new_state = state_template.replace(params=new_params)
     if state_template.batch_stats is not None:
         new_state = new_state.replace(

@@ -73,6 +73,38 @@ def test_motionformer_full_golden():
     np.testing.assert_allclose(np.asarray(out), d["out"], atol=2e-5)
 
 
+def test_motionformer_full_golden_pipelined():
+    """The torch importer fills a pipeline-parallel template (the name
+    maps target the scanned layout; load_into_state must convert):
+    same reference logits with TPU.MESH.PIPE=3."""
+    import dataclasses
+
+    from focus_tpu.models.build import build_model, init_model
+    from focus_tpu.utils import torch_import
+
+    d, sd = load("motionformer_full")
+    video = d["video"].transpose(0, 2, 3, 4, 1)
+    cfg = mf_full_cfg()
+    cfg.TPU.MESH.PIPE = 3  # DEPTH=3 -> one layer per stage
+    cfg.TPU.MESH.PIPE_MICROBATCHES = 1
+    model = build_model(cfg)
+    variables = init_model(model, cfg, (jnp.asarray(video), {}))
+
+    @dataclasses.dataclass
+    class _State:
+        params: dict
+        batch_stats: object = None
+
+        def replace(self, **kw):
+            return dataclasses.replace(self, **kw)
+
+    state = torch_import.load_into_state(
+        "<in-memory>", _State(variables["params"]), cfg, state_dict=sd
+    )
+    out = model.apply({"params": state.params}, jnp.asarray(video), {})
+    np.testing.assert_allclose(np.asarray(out), d["out"], atol=2e-5)
+
+
 def test_orvit_mf_full_golden():
     d, sd = load("orvit_mf_full")
     video = d["video"].transpose(0, 2, 3, 4, 1)

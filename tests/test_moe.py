@@ -95,12 +95,13 @@ def test_moe_model_sows_aux_loss():
         variables, video, {}, train=True,
         rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["moe"],
     )
+    # sown as (aux * w, w) pairs; every layer contributes weight 1 here
     leaves = jax.tree_util.tree_leaves(mods["moe"])
-    total = sum(float(jnp.sum(leaf)) for leaf in leaves)
-    n_scalars = sum(int(np.prod(leaf.shape)) for leaf in leaves)
-    assert n_scalars == cfg.MF.DEPTH
+    num = sum(float(jnp.sum(leaf[..., 0])) for leaf in leaves)
+    den = sum(float(jnp.sum(leaf[..., 1])) for leaf in leaves)
+    assert den == cfg.MF.DEPTH
     # Switch aux is >= 1 (== 1 at perfect balance) per layer
-    assert total >= 0.99 * cfg.MF.DEPTH
+    assert num / den >= 0.99
 
 
 def _one_moe_step(expert_axis, pipe=1, B=8):
