@@ -113,7 +113,6 @@ class ThreadVideoManager:
             if was_read and self.buffer_size > 0:
                 buffer = frames[-self.buffer_size:]
             self.put_id += 1
-            self.not_end = was_read
             task = ClipTask(self.put_id, frames, num_buffer, was_read)
             skip = self.num_skip > 0 and task.id % (self.num_skip + 1) != 0
             if was_read and skip:
@@ -122,6 +121,10 @@ class ThreadVideoManager:
                     self.write_queue[task.id] = task
             else:
                 self.read_queue.put(task)
+            # publish EOF only after the final task is enqueued — the
+            # other order lets the consumer observe (not_end=False,
+            # empty queue) and break before the last clip arrives
+            self.not_end = was_read
 
     def __iter__(self):
         return self
@@ -282,6 +285,32 @@ def demo(cfg):
                     variables["batch_stats"] = st.batch_stats
                 return model.apply(variables, x, {}, bx, train=False)
 
+    try:
+        _demo_loop(
+            cfg, manager, detector, video_vis, build_predict,
+            lambda: (state, predict), crop, rate, max_boxes, detection,
+        )
+    except BaseException:
+        # unblock the reader (it only re-checks `stopped` between clips)
+        # so the join below can't wait out a long source video
+        manager.stopped = True
+        raise
+    finally:
+        # always drain + release the writer: an exception mid-predict
+        # must not leave the output container without its final header
+        manager.join()
+    logger.info("Demo finished.")
+
+
+def _demo_loop(cfg, manager, detector, video_vis, build_predict,
+               get_predictor, crop, rate, max_boxes, detection):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from focus_tpu.datasets import utils as data_utils
+
+    latest = None
     while True:
         alive, task = next(manager)
         if task is None:
@@ -306,6 +335,7 @@ def demo(cfg):
         )
 
         boxes_disp = None
+        state, predict = get_predictor()
         if detection:
             mid = task.frames[len(task.frames) // 2]
             det = detector(mid)[:max_boxes]
@@ -320,6 +350,7 @@ def demo(cfg):
                 padded[0, : len(det)] = scaled
                 if state is None:
                     build_predict(inputs, boxes=padded)
+                    state, predict = get_predictor()
                 preds = predict(
                     state,
                     jax.tree_util.tree_map(jnp.asarray, inputs),
@@ -330,6 +361,7 @@ def demo(cfg):
         else:
             if state is None:
                 build_predict(inputs)
+                state, predict = get_predictor()
             probs = predict(
                 state, jax.tree_util.tree_map(jnp.asarray, inputs)
             )
@@ -343,6 +375,3 @@ def demo(cfg):
                 drawn.append(np.ascontiguousarray(out[:, :, ::-1]))
             task.frames = drawn
         manager.display(task)
-
-    manager.join()
-    logger.info("Demo finished.")

@@ -119,10 +119,14 @@ def _hw_gelu_bwd(x, dy):
     t = xp * p
     th = jnp.tanh(t)
     # d t/d xp = p(u) + 2 u p'(u); the xp clamp's cut of the tanh term
-    # beyond XPOS is absorbed by (1 - th^2) ~ 6e-8 there
+    # beyond XPOS is absorbed by (1 - th^2) ~ 6e-8 there. The sech^2
+    # term multiplies the CLAMPED xp, not xf: with xf the product grows
+    # linearly past saturation whenever tanh rounds to 1-ulp-below-1
+    # (gradient error O(xf * 1e-7) for activation spikes), while the
+    # true gelu'(x) is exactly 1 there.
     dt = p + jnp.float32(2.0) * u * _poly(u, DCENTER)
     d_center = jnp.float32(0.5) * (jnp.float32(1.0) + th) + (
-        jnp.float32(0.5) * xf * (jnp.float32(1.0) - th * th) * dt
+        jnp.float32(0.5) * xp * (jnp.float32(1.0) - th * th) * dt
     )
     xc = jnp.maximum(xf, jnp.float32(XCLAMP))
     # d/dx[-exp2(q)] = -ln2 exp2(q) q'; exp2 underflow zeroes it at the

@@ -160,17 +160,38 @@ def load_into_state(cfg, state):
     """Apply MODEL.LOAD_IN_PRETRAIN (a LOCAL timm-format file; URLs are
     network-gated here) onto a supervised TrainState's params."""
     path = cfg.MODEL.LOAD_IN_PRETRAIN
-    if path.startswith("http"):
-        logger.warning(
-            "MODEL.LOAD_IN_PRETRAIN URL download is network-gated; "
-            "download the file and point LOAD_IN_PRETRAIN at it."
-        )
-        return state
     import os
 
+    if path.startswith("http"):
+        # try a direct download into a local cache (the reference pulls
+        # timm URLs through torch.hub); a failure is a hard error — a
+        # requested pretrained init must never silently degrade to
+        # training from random weights
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "focus_tpu", "pretrained"
+        )
+        os.makedirs(cache, exist_ok=True)
+        local = os.path.join(cache, os.path.basename(path.split("?")[0]))
+        if not os.path.isfile(local):
+            import urllib.request
+
+            try:
+                logger.info(f"Downloading LOAD_IN_PRETRAIN: {path}")
+                urllib.request.urlretrieve(path, local + ".tmp")
+                os.replace(local + ".tmp", local)
+            except Exception as e:
+                raise RuntimeError(
+                    f"MODEL.LOAD_IN_PRETRAIN download failed ({e}); "
+                    f"download the file manually and point "
+                    f"LOAD_IN_PRETRAIN at it"
+                ) from e
+        path = local
     if not os.path.isfile(path):
-        logger.warning(f"LOAD_IN_PRETRAIN file not found: {path}")
-        return state
+        raise FileNotFoundError(
+            f"MODEL.LOAD_IN_PRETRAIN file not found: {path} — a requested "
+            f"pretrained init must not silently fall back to random "
+            f"weights; clear LOAD_IN_PRETRAIN to train from scratch"
+        )
     from focus_tpu.utils.torch_import import import_torch_params
 
     sd = load_timm_state_dict(path)

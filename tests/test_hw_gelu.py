@@ -112,6 +112,18 @@ def test_hw_gelu_grad_matches_erf_gelu():
     assert np.abs(ours - true).max() < 5e-4, np.abs(ours - true).max()
 
 
+def test_hw_gelu_grad_saturates_to_one():
+    """Beyond the center clamp the true gelu'(x) is exactly 1; the
+    backward must not grow with x (the sech^2 term multiplies the
+    clamped input — an activation spike up to bf16 max must see a unit
+    gradient, not O(x * ulp))."""
+    x = jnp.asarray(
+        np.array([5.5, 8.0, 1e4, 1e20, 3.39e38], np.float32)
+    )
+    g = np.asarray(jax.vmap(jax.grad(lambda v: hw_gelu(v)))(x))
+    np.testing.assert_allclose(g, np.ones_like(g), atol=1e-5)
+
+
 def test_mlp_uses_hw_gelu_for_bf16():
     """The Mlp's exact-gelu path must route bf16 through hw_gelu (same
     output as hw_gelu on the activation) and keep lax.erf for f32."""
