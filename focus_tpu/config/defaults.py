@@ -518,6 +518,9 @@ _DEFAULTS = {
                 "AUX_LOSS_WEIGHT": 0.01},
         # number of device-prefetch buffers for the input pipeline.
         "PREFETCH": 2,
+        # output path for tools/export_model.py (serialized jax.export
+        # StableHLO artifact of the eval step, weights baked in).
+        "EXPORT_PATH": "",
         # use Pallas kernels for hot ops when running on TPU.
         "USE_PALLAS": True,
         # tanh-approximate gelu in MLPs (MXU-adjacent VPU saver; ~1e-4
