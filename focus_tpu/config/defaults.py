@@ -521,6 +521,10 @@ _DEFAULTS = {
         # output path for tools/export_model.py (serialized jax.export
         # StableHLO artifact of the eval step, weights baked in).
         "EXPORT_PATH": "",
+        # write checkpoints on a background thread (device fetch stays
+        # synchronous for a consistent snapshot; serialisation + disk IO
+        # overlap the following train steps).
+        "ASYNC_CHECKPOINT": False,
         # use Pallas kernels for hot ops when running on TPU.
         "USE_PALLAS": True,
         # tanh-approximate gelu in MLPs (MXU-adjacent VPU saver; ~1e-4

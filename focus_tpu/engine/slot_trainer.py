@@ -267,6 +267,7 @@ def slot_train(cfg):
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
             cu.save_checkpoint(ckpt_dir, state, cur_epoch + 1, cfg)
 
+    cu.wait_for_saves()  # land any async checkpoint writes before exit
     if writer is not None:
         writer.close()
     return state

@@ -512,6 +512,7 @@ def train(cfg):
                        cfg, writer=writer)
 
     profiler.stop()
+    cu.wait_for_saves()  # land any async checkpoint writes before exit
     if writer is not None:
         writer.close()
     return state

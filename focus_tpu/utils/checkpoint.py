@@ -72,6 +72,9 @@ def is_checkpoint_epoch(cfg, cur_epoch: int, multigrid_schedule=None) -> bool:
     return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
 
 
+_PENDING_SAVES: list = []
+
+
 def save_checkpoint(
     path_to_job: str,
     state: Any,
@@ -79,10 +82,21 @@ def save_checkpoint(
     cfg,
     name: Optional[str] = None,
     fmt: str = ".pyth",
+    async_write: Optional[bool] = None,
 ) -> Optional[str]:
-    """Serialise a train-state pytree. Only process 0 writes."""
+    """Serialise a train-state pytree. Only process 0 writes.
+
+    With ``async_write`` (default ``cfg.TPU.ASYNC_CHECKPOINT``) the
+    device fetch is synchronous — a consistent snapshot before the next
+    step mutates donated buffers — but msgpack serialisation and disk IO
+    run on a background thread, overlapping the next training steps.
+    Writes stay ordered (one writer thread chain) and atomic
+    (.tmp + rename); call :func:`wait_for_saves` before reading a
+    checkpoint back in-process or exiting."""
     if jax.process_index() != 0:
         return None
+    if async_write is None:
+        async_write = bool(getattr(cfg.TPU, "ASYNC_CHECKPOINT", False))
     d = get_checkpoint_dir(path_to_job)
     os.makedirs(d, exist_ok=True)
     if name is not None:
@@ -90,17 +104,45 @@ def save_checkpoint(
     else:
         path = get_path_to_checkpoint(path_to_job, epoch, fmt)
     state = jax.device_get(state)
-    payload = {
-        "state": serialization.to_bytes(state),
-        "epoch": epoch,
-        "cfg": cfg.dump() if hasattr(cfg, "dump") else None,
-    }
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=4)
-    os.replace(tmp, path)
-    logger.info(f"Saved checkpoint to {path}")
+    cfg_dump = cfg.dump() if hasattr(cfg, "dump") else None
+
+    def _write():
+        payload = {
+            "state": serialization.to_bytes(state),
+            "epoch": epoch,
+            "cfg": cfg_dump,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=4)
+        os.replace(tmp, path)
+        logger.info(f"Saved checkpoint to {path}")
+
+    if async_write:
+        import threading
+
+        prev = _PENDING_SAVES[-1] if _PENDING_SAVES else None
+
+        def _chained():
+            if prev is not None:
+                prev.join()
+            _write()
+
+        t = threading.Thread(target=_chained, daemon=False)
+        t.start()
+        _PENDING_SAVES.append(t)
+        # prune landed writers (keep the tail — it anchors the chain)
+        while len(_PENDING_SAVES) > 1 and not _PENDING_SAVES[0].is_alive():
+            _PENDING_SAVES.pop(0)
+        return path
+    _write()
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until every async checkpoint write has landed."""
+    while _PENDING_SAVES:
+        _PENDING_SAVES.pop().join()
 
 
 def load_checkpoint(path: str, state_template: Any):
@@ -110,6 +152,7 @@ def load_checkpoint(path: str, state_template: Any):
     pipeline-parallel [stages, L/stages, ...], see parallel/pipeline.py)
     restore into a template using the other: on a structural mismatch the
     raw tree is re-laid-out to match the template before binding."""
+    wait_for_saves()  # in-process read-after-async-write ordering
     with open(path, "rb") as f:
         payload = pickle.load(f)
     try:
