@@ -240,6 +240,36 @@ def test_pp_train_matches_dp_loss():
 
 
 @needs8
+def test_pp_train_with_remat():
+    """Rematerialised stage bodies (cfg.TPU.REMAT) compose with the
+    circular pipeline: the train step compiles and the loss matches."""
+    _, loss_dp = _one_step(1, 1)
+    cfg = _plain_mf_cfg(pipe=2)
+    cfg.TPU.REMAT = True
+    mesh = mesh_lib.build_mesh(cfg, devices=jax.devices()[:8])
+    model = build_model(cfg)
+    video = _video(8)
+    labels = (np.arange(8) % cfg.MODEL.NUM_CLASSES).astype(np.int32)
+    state = build_supervised_state(
+        cfg, model, mesh, (video, labels, np.arange(8, dtype=np.int32), {}),
+        10
+    )
+    params = pipe_lib.to_pipelined(_scanned_init_params(video), stages=2)
+    state = _with_params(state, params, mesh)
+    step = make_supervised_train_step(
+        model, cfg, mesh, losses_lib.get_loss_func(cfg),
+        state_sharding=mesh_lib.state_shardings(mesh, state),
+    )
+    sharded = mesh_lib.shard_batch(mesh, (video, labels, {}))
+    _, stats = step(
+        state, sharded[0], sharded[1], sharded[2], jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        float(jax.device_get(stats["loss"])), loss_dp, rtol=2e-3
+    )
+
+
+@needs8
 def test_pp_tp_matches_dp_loss():
     """Full dp=2 x pipe=2 x tp=2 mesh."""
     _, loss_dp = _one_step(1, 1)
