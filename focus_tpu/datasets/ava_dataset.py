@@ -189,6 +189,11 @@ class Ava:
         # reference op order (_images_and_boxes_preprocessing,
         # ava_dataset.py:280-352): /255, geometric aug, color aug, mean/std
         frames = frames.astype(np.float32) / 255.0
+        if cfg.AVA.BGR:
+            # keep BGR channel order (Caffe2-zoo checkpoints; reference
+            # ava_dataset.py:244-246 skips the BGR->RGB conversion —
+            # our loader yields RGB, so honoring BGR means reversing)
+            frames = frames[..., ::-1]
         if self._split == "train":
             frames, boxes = xf.random_short_side_scale_jitter(
                 frames, cfg.DATA.TRAIN_JITTER_SCALES[0],
@@ -207,6 +212,11 @@ class Ava:
             if cfg.AVA.CENTER_CROP_TEST:
                 frames, boxes = xf.uniform_crop(
                     frames, cfg.DATA.TEST_CROP_SIZE, 1, boxes=boxes
+                )
+            if cfg.AVA.TEST_FORCE_FLIP:
+                # (reference ava_dataset.py:172-192)
+                frames, boxes = xf.horizontal_flip(
+                    frames, 1.0, rng, boxes=boxes
                 )
         if self._split == "train" and cfg.AVA.TRAIN_USE_COLOR_AUGMENTATION:
             # (reference ava_dataset.py:333-347)

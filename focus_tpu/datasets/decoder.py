@@ -22,12 +22,22 @@ def temporal_sampling(frames: np.ndarray, start_idx, end_idx, num_samples):
     return frames[index]
 
 
-def get_start_end_idx(video_size, clip_size, clip_idx, num_clips, rng=None):
-    """(reference decoder.py:31-69)"""
+def get_start_end_idx(video_size, clip_size, clip_idx, num_clips, rng=None,
+                      use_offset=False):
+    """(reference decoder.py:31-69, incl. the ``use_offset`` variant —
+    cfg.DATA.USE_OFFSET_SAMPLING: center the single test clip / space
+    num_clips inclusively across the full span)"""
+    import math
+
     delta = max(video_size - clip_size, 0)
     if clip_idx == -1:
         rng = rng or np.random.RandomState()
         start_idx = rng.uniform(0, delta)
+    elif use_offset:
+        if num_clips == 1:
+            start_idx = math.floor(delta / 2)
+        else:
+            start_idx = clip_idx * math.floor(delta / (num_clips - 1))
     else:
         start_idx = delta * clip_idx / num_clips
     end_idx = start_idx + clip_size - 1
@@ -112,6 +122,7 @@ def decode(
     target_fps: int = 30,
     rng=None,
     selective: bool = True,
+    use_offset: bool = False,
 ):
     """Decode + temporally sample a clip (reference decoder.py:305-390).
 
@@ -128,7 +139,8 @@ def decode(
             total, fps = meta
             clip_size = sampling_rate * num_frames / target_fps * fps
             start_idx, end_idx = get_start_end_idx(
-                total, clip_size, clip_idx, num_clips, rng
+                total, clip_size, clip_idx, num_clips, rng,
+                use_offset=use_offset,
             )
             s = max(int(np.floor(start_idx)), 0)
             e = min(int(np.ceil(end_idx)), total - 1)
@@ -145,6 +157,7 @@ def decode(
         return None
     clip_size = sampling_rate * num_frames / target_fps * fps
     start_idx, end_idx = get_start_end_idx(
-        frames.shape[0], clip_size, clip_idx, num_clips, rng
+        frames.shape[0], clip_size, clip_idx, num_clips, rng,
+        use_offset=use_offset,
     )
     return temporal_sampling(frames, start_idx, end_idx, num_frames)

@@ -96,6 +96,7 @@ class Kinetics:
                 num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS,
                 target_fps=cfg.DATA.TARGET_FPS,
                 rng=rng,
+                use_offset=bool(cfg.DATA.USE_OFFSET_SAMPLING),
             )
             if frames is not None:
                 break

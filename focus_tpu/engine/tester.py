@@ -9,6 +9,8 @@ process_allgather when multi-host.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
@@ -165,6 +167,17 @@ def test(cfg):
         writer = TensorboardWriter(cfg)
         writer.plot_eval(test_meter.video_preds, test_meter.video_labels)
         writer.close()
+    if jax.process_index() == 0 and cfg.TEST.SAVE_RESULTS_PATH:
+        # (reference test_net.py:145-153): pickle of [preds, labels]
+        import pickle
+
+        save_path = os.path.join(cfg.OUTPUT_DIR, cfg.TEST.SAVE_RESULTS_PATH)
+        with open(save_path, "wb") as f:
+            pickle.dump(
+                [np.asarray(test_meter.video_preds),
+                 np.asarray(test_meter.video_labels)], f,
+            )
+        logger.info(f"Successfully saved prediction results to {save_path}")
     return stats
 
 

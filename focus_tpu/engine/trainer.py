@@ -218,6 +218,16 @@ def make_supervised_eval_step(model, cfg, mesh):
     )
 
 
+def _no_wd_paths(cfg):
+    """Positional/class embeddings excluded from weight decay. MViT
+    gates the exclusion on MVIT.ZERO_DECAY_POS_CLS (reference
+    video_model_builder.py:1016-1030); Motionformer's is unconditional
+    (:1256-1261)."""
+    if cfg.MODEL.MODEL_NAME == "MViT" and not cfg.MVIT.ZERO_DECAY_POS_CLS:
+        return ()
+    return ("pos_embed", "cls_token", "temp_embed", "st_embed")
+
+
 def _split_batch(batch):
     """Normalise loader output to (video, labels, metadata)."""
     if isinstance(batch, (tuple, list)):
@@ -239,8 +249,11 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
     else:
         variables = init_model(model, cfg, (video, metadata))
     params = variables["params"]
+    from focus_tpu.models.build import maybe_zero_init_orvit
+
+    params = maybe_zero_init_orvit(cfg, params)
     batch_stats = variables.get("batch_stats")
-    no_wd = ("pos_embed", "cls_token", "temp_embed", "st_embed")
+    no_wd = _no_wd_paths(cfg)
     tx = optim.construct_optimizer(
         params, cfg, steps_per_epoch, no_weight_decay_paths=no_wd
     )
@@ -388,7 +401,7 @@ def _rebuild_for_long_cycle(cfg, mesh, state, cur_epoch):
     model = build_model(cfg)
     data_sh = mesh_lib.batch_sharded(mesh)
     train_loader = data_loader.construct_loader(cfg, "train", sharding=data_sh)
-    no_wd = ("pos_embed", "cls_token", "temp_embed", "st_embed")
+    no_wd = _no_wd_paths(cfg)
     tx = optim.construct_optimizer(
         state.params, cfg, len(train_loader), no_weight_decay_paths=no_wd,
         epoch_offset=float(cur_epoch), step_offset=int(state.step),

@@ -34,6 +34,30 @@ def build_model(cfg):
     return model_cls(cfg=cfg, dtype=compute_dtype(cfg))
 
 
+def maybe_zero_init_orvit(cfg, params):
+    """With ORVIT.ZERO_INIT_ORVIT, zero every parameter of the
+    residually-ADDED ORViT blocks (the MViT ADD_LAYERS variant, named
+    ``orvit_blocks_*``) so the model starts as the plain backbone —
+    reference build.py:66-68 + misc.module_0_init (which targets
+    ``model.orvit_blocks``, a module list only that variant has)."""
+    if not (cfg.ORVIT.ENABLE and getattr(cfg.ORVIT, "ZERO_INIT_ORVIT", False)):
+        return params
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        return {
+            k: (
+                jax.tree_util.tree_map(jnp.zeros_like, v)
+                if k.startswith("orvit_blocks_")
+                else walk(v)
+            )
+            for k, v in node.items()
+        }
+
+    return walk(params)
+
+
 def init_model(model, cfg, sample_inputs: Tuple, rng: Optional[jax.Array] = None,
                **apply_kwargs):
     """Initialise model variables with a sample batch (jitted: eager

@@ -21,13 +21,15 @@ class BatchNorm(nn.Module):
 
     momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
     epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.BatchNorm(
             use_running_average=not train, momentum=self.momentum,
-            epsilon=self.epsilon, dtype=self.dtype, name="bn",
+            epsilon=self.epsilon, scale_init=self.scale_init,
+            dtype=self.dtype, name="bn",
         )(x)
 
 
@@ -38,12 +40,13 @@ class _SubBNCore(nn.Module):
     num_splits: int
     momentum: float = 0.9
     epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         C = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (C,))
+        scale = self.param("scale", self.scale_init, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
@@ -100,23 +103,40 @@ class SubBatchNorm(nn.Module):
     num_splits: int
     momentum: float = 0.9
     epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return _SubBNCore(
             num_splits=self.num_splits, momentum=self.momentum,
-            epsilon=self.epsilon, dtype=self.dtype, name="bn",
+            epsilon=self.epsilon, scale_init=self.scale_init,
+            dtype=self.dtype, name="bn",
         )(x, train=train)
 
 
 def get_norm(cfg):
-    """Dispatch by cfg.BN.NORM_TYPE (reference batchnorm_helper.py:15-34)."""
+    """Dispatch by cfg.BN.NORM_TYPE (reference batchnorm_helper.py:15-34).
+
+    ``final=True`` marks the last BN of a residual transform: with
+    cfg.RESNET.ZERO_INIT_FINAL_BN its scale starts at zero so every
+    residual block begins as identity (reference
+    weight_init_helper.py:39-66 transform_final_bn)."""
     kind = cfg.BN.NORM_TYPE
+    zero_final = bool(getattr(cfg.RESNET, "ZERO_INIT_FINAL_BN", False))
+
+    def scale_init(final):
+        if final and zero_final:
+            return nn.initializers.zeros
+        return nn.initializers.ones
+
     if kind in ("batchnorm", "sync_batchnorm"):
-        return lambda name=None, dtype=None: BatchNorm(dtype=dtype, name=name)
+        return lambda name=None, dtype=None, final=False: BatchNorm(
+            scale_init=scale_init(final), dtype=dtype, name=name
+        )
     if kind == "sub_batchnorm":
-        return lambda name=None, dtype=None: SubBatchNorm(
-            num_splits=cfg.BN.NUM_SPLITS, dtype=dtype, name=name
+        return lambda name=None, dtype=None, final=False: SubBatchNorm(
+            num_splits=cfg.BN.NUM_SPLITS, scale_init=scale_init(final),
+            dtype=dtype, name=name,
         )
     raise NotImplementedError(f"Norm type {kind}")

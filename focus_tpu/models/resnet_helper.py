@@ -152,7 +152,7 @@ class BasicTransform(nn.Module):
         x = nn.relu(x)
         x = conv3d(self.dim_out, (1, 3, 3), (1, 1, 1), (0, 1, 1),
                    dtype=self.dtype, name="b")(x)
-        return self.norm(name="b_bn", dtype=self.dtype)(x, train=train)
+        return self.norm(name="b_bn", dtype=self.dtype, final=True)(x, train=train)
 
 
 class BottleneckTransform(nn.Module):
@@ -186,7 +186,7 @@ class BottleneckTransform(nn.Module):
         x = self.norm(name="b_bn", dtype=self.dtype)(x, train=train)
         x = nn.relu(x)
         x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
-        return self.norm(name="c_bn", dtype=self.dtype)(x, train=train)
+        return self.norm(name="c_bn", dtype=self.dtype, final=True)(x, train=train)
 
 
 class X3DTransform(nn.Module):
@@ -223,7 +223,7 @@ class X3DTransform(nn.Module):
             x = SE(self.se_ratio, dtype=self.dtype, name="se")(x)
         x = x * jax.nn.sigmoid(x) if self.swish_inner else nn.relu(x)
         x = conv3d(self.dim_out, (1, 1, 1), dtype=self.dtype, name="c")(x)
-        return self.norm(name="c_bn", dtype=self.dtype)(x, train=train)
+        return self.norm(name="c_bn", dtype=self.dtype, final=True)(x, train=train)
 
 
 _TRANS = {
