@@ -311,6 +311,13 @@ def _demo_loop(cfg, manager, detector, video_vis, build_predict,
     from focus_tpu.datasets import utils as data_utils
 
     latest = None
+    # source pixel order (reference predictor.py:71): cv2 capture yields
+    # BGR (the default); RGB sources skip the channel reversal
+    bgr_in = getattr(cfg.DEMO, "INPUT_FORMAT", "BGR") == "BGR"
+
+    def to_rgb(f):
+        return f[:, :, ::-1] if bgr_in else f
+
     while True:
         alive, task = next(manager)
         if task is None:
@@ -319,7 +326,7 @@ def _demo_loop(cfg, manager, detector, video_vis, build_predict,
             time.sleep(0.01)
             continue
         frames_resized = [
-            cv2.resize(f[:, :, ::-1], (crop, crop)) for f in task.frames
+            cv2.resize(to_rgb(f), (crop, crop)) for f in task.frames
         ]
         clip = np.stack(frames_resized[::rate])[: cfg.DATA.NUM_FRAMES]
         if clip.shape[0] < cfg.DATA.NUM_FRAMES:
@@ -370,8 +377,11 @@ def _demo_loop(cfg, manager, detector, video_vis, build_predict,
         if latest is not None:
             drawn = []
             for f in task.frames:
-                rgb = f[:, :, ::-1]
+                rgb = to_rgb(f)
                 out = video_vis.draw_one_frame(rgb, latest, boxes_disp)
-                drawn.append(np.ascontiguousarray(out[:, :, ::-1]))
+                # writer/display consume the source order
+                drawn.append(
+                    np.ascontiguousarray(out[:, :, ::-1] if bgr_in else out)
+                )
             task.frames = drawn
         manager.display(task)

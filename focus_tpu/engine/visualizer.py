@@ -21,9 +21,26 @@ logger = logging.get_logger(__name__)
 
 def visualize(cfg):
     """(reference tools/visualization.py:250-345)"""
-    if not (cfg.TENSORBOARD.ENABLE and cfg.TENSORBOARD.MODEL_VIS.ENABLE):
+    if not cfg.TENSORBOARD.ENABLE:
         return
     logging.setup_logging(cfg.OUTPUT_DIR)
+    if cfg.TENSORBOARD.PREDICTIONS_PATH:
+        # class-level eval panels from results saved by
+        # TEST.SAVE_RESULTS_PATH, without re-running eval (reference
+        # tools/visualization.py:293-303)
+        import pickle
+
+        if jax.process_index() == 0:
+            logger.info(
+                "Visualizing class-level performance from saved results..."
+            )
+            with open(cfg.TENSORBOARD.PREDICTIONS_PATH, "rb") as f:
+                preds, labels = pickle.load(f, encoding="latin1")
+            w = TensorboardWriter(cfg)
+            w.plot_eval(np.asarray(preds), np.asarray(labels))
+            w.close()
+    if not cfg.TENSORBOARD.MODEL_VIS.ENABLE:
+        return
     mesh = mesh_lib.build_mesh(cfg)
     model = build_model(cfg)
     loader = data_loader.construct_loader(cfg, "test")
@@ -32,15 +49,58 @@ def visualize(cfg):
     state = cu.load_test_checkpoint(cfg, state)
     writer = TensorboardWriter(cfg)
 
+    layer_list = [
+        str(l).replace(".", "/")
+        for l in (cfg.TENSORBOARD.MODEL_VIS.LAYER_LIST or ())
+    ]
+
+    def _selected(name):
+        # empty LAYER_LIST -> everything (reference tools/visualization.py
+        # :45 restricts to the listed layers when given)
+        return not layer_list or any(l in name for l in layer_list)
+
     if cfg.TENSORBOARD.MODEL_VIS.MODEL_WEIGHTS:
         import torch
 
         flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
-        for path, leaf in flat[:200]:
+        count = 0
+        for path, leaf in flat:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if not _selected(name) or count >= 200:
+                continue
+            count += 1
             if writer.writer is not None:
                 writer.writer.add_histogram(
                     f"weights/{name}", torch.from_numpy(np.asarray(leaf))
+                )
+
+    if cfg.TENSORBOARD.MODEL_VIS.ACTIVATIONS:
+        # per-layer activation histograms on one batch: flax
+        # capture_intermediates replaces the reference's forward hooks
+        # (tools/visualization.py:181)
+        import torch
+
+        video, _, metadata = _split_batch(sample)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        _, mods = model.apply(
+            variables, jax.tree_util.tree_map(np.asarray, video), metadata,
+            capture_intermediates=True, mutable=["intermediates"],
+        )
+        flat = jax.tree_util.tree_flatten_with_path(
+            mods["intermediates"]
+        )[0]
+        count = 0
+        for path, leaf in flat:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if not _selected(name) or count >= 200:
+                continue
+            count += 1
+            if writer.writer is not None:
+                writer.writer.add_histogram(
+                    f"activations/{name}",
+                    torch.from_numpy(np.asarray(leaf).ravel()),
                 )
 
     if cfg.TENSORBOARD.MODEL_VIS.INPUT_VIDEO:
@@ -60,7 +120,17 @@ def visualize(cfg):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
+        # GRAD_CAM.LAYER_LIST names the target block (reference
+        # tools/visualization.py:66-69); parse its index, default to the
+        # last block
         layer = cfg.MF.DEPTH - 1
+        gc_layers = cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM.LAYER_LIST or ()
+        if gc_layers:
+            import re
+
+            m = re.search(r"(\d+)\s*$", str(gc_layers[0]))
+            if m:
+                layer = min(int(m.group(1)), cfg.MF.DEPTH - 1)
         cams = gradcam_motionformer(
             model, variables, video, metadata, layer,
             labels=labels,

@@ -59,6 +59,35 @@ def test_writer_plot_eval_writes_events(tmp_path):
     assert os.path.getsize(events[0]) > 1000  # figures actually logged
 
 
+def test_visualize_from_saved_predictions(tmp_path):
+    """TENSORBOARD.PREDICTIONS_PATH renders eval panels from a saved
+    [preds, labels] pickle (the TEST.SAVE_RESULTS_PATH artifact) without
+    running the model (reference tools/visualization.py:293-303)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    import pickle
+
+    from focus_tpu.config import get_cfg
+    from focus_tpu.engine.visualizer import visualize
+
+    rs = np.random.RandomState(0)
+    path = tmp_path / "preds.pkl"
+    with open(path, "wb") as f:
+        pickle.dump([rs.rand(20, 4), rs.randint(0, 4, 20)], f)
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.ENABLE = True
+    cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE = True
+    cfg.TENSORBOARD.PREDICTIONS_PATH = str(path)
+    cfg.TENSORBOARD.MODEL_VIS.ENABLE = False
+    cfg.MODEL.NUM_CLASSES = 4
+    visualize(cfg)
+    import glob
+    import os
+
+    events = glob.glob(os.path.join(str(tmp_path), "runs-*", "events.*"))
+    assert events and os.path.getsize(events[0]) > 1000
+
+
 def test_video_visualizer_modes(tmp_path):
     pytest.importorskip("cv2")
     import json
