@@ -270,6 +270,19 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
     logger.info(
         f"{cfg.MODEL.MODEL_NAME} initialised: {n_params / 1e6:.2f}M params"
     )
+    if getattr(cfg, "LOG_MODEL_INFO", False) and not cfg.DETECTION.ENABLE:
+        # params + analytical FLOPs of the eval forward (reference
+        # misc.log_model_info, train_net.py gates it on LOG_MODEL_INFO)
+        from focus_tpu.utils import misc
+
+        variables_ = {"params": state.params}
+        if state.batch_stats is not None:
+            variables_["batch_stats"] = state.batch_stats
+        misc.log_model_info(
+            cfg.MODEL.MODEL_NAME, state.params,
+            fn=lambda v: model.apply(variables_, v, metadata, train=False),
+            args=(video,),
+        )
     return state
 
 

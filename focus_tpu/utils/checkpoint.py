@@ -202,10 +202,21 @@ def load_train_checkpoint(cfg, state_template):
 
 
 def load_test_checkpoint(cfg, state_template):
-    """Fallback chain (reference checkpoint.py:499-541): TEST path ->
-    last ckpt in OUTPUT_DIR -> TRAIN path."""
+    """Fallback chain (reference checkpoint.py:499-541): numbered epoch
+    (TEST.TEST_EPOCH_NUM) -> TEST path -> last ckpt in OUTPUT_DIR ->
+    TRAIN path."""
     exp_path = cfg.EXP.PATH if hasattr(cfg, "EXP") else ""
-    if cfg.TEST.CHECKPOINT_FILE_PATH:
+    if int(getattr(cfg.TEST, "TEST_EPOCH_NUM", 0) or 0) > 0:
+        # test a SPECIFIC training epoch (reference checkpoint.py:503-506)
+        path = get_path_to_checkpoint(
+            cfg.OUTPUT_DIR, int(cfg.TEST.TEST_EPOCH_NUM)
+        )
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"TEST.TEST_EPOCH_NUM={cfg.TEST.TEST_EPOCH_NUM}: {path} "
+                f"does not exist"
+            )
+    elif cfg.TEST.CHECKPOINT_FILE_PATH:
         path = cfg.TEST.CHECKPOINT_FILE_PATH
     elif has_checkpoint(cfg.OUTPUT_DIR):
         path = get_last_checkpoint(cfg.OUTPUT_DIR)

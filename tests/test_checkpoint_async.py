@@ -47,6 +47,26 @@ def test_async_same_path_saves_stay_ordered(tmp_path):
     np.testing.assert_array_equal(got["w"], _state(4.0)["w"])
 
 
+def test_test_epoch_num_selects_checkpoint(tmp_path):
+    """TEST.TEST_EPOCH_NUM tests a SPECIFIC epoch's checkpoint instead
+    of the last one (reference checkpoint.py:503-506)."""
+    import pytest
+
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cu.save_checkpoint(str(tmp_path), _state(1.0), 1, cfg)
+    cu.save_checkpoint(str(tmp_path), _state(2.0), 2, cfg)
+    cfg.TEST.TEST_EPOCH_NUM = 1
+    got = cu.load_test_checkpoint(cfg, _state(0.0))
+    np.testing.assert_array_equal(got["w"], _state(1.0)["w"])
+    cfg.TEST.TEST_EPOCH_NUM = 0  # default: last checkpoint
+    got = cu.load_test_checkpoint(cfg, _state(0.0))
+    np.testing.assert_array_equal(got["w"], _state(2.0)["w"])
+    cfg.TEST.TEST_EPOCH_NUM = 9
+    with pytest.raises(FileNotFoundError):
+        cu.load_test_checkpoint(cfg, _state(0.0))
+
+
 def test_config_gate_defaults_off(tmp_path):
     cfg = get_cfg()
     assert cfg.TPU.ASYNC_CHECKPOINT is False
