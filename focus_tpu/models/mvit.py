@@ -318,6 +318,12 @@ class MViT(nn.Module):
         tokens = tokens + pe.astype(tokens.dtype)
         if c.MVIT.DROPOUT_RATE > 0.0 and train:
             tokens = nn.Dropout(c.MVIT.DROPOUT_RATE, deterministic=False)(tokens)
+        if c.MVIT.NORM != "layernorm":
+            # reference video_model_builder.py:802-805 supports only
+            # layernorm; fail the same way instead of silently using LN
+            raise NotImplementedError(
+                f"MVIT.NORM={c.MVIT.NORM!r}: only 'layernorm' is supported"
+            )
         if c.MVIT.NORM_STEM:
             tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                   name="norm_stem")(tokens)
