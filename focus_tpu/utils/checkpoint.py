@@ -207,14 +207,18 @@ def load_test_checkpoint(cfg, state_template):
     TRAIN path."""
     exp_path = cfg.EXP.PATH if hasattr(cfg, "EXP") else ""
     if int(getattr(cfg.TEST, "TEST_EPOCH_NUM", 0) or 0) > 0:
-        # test a SPECIFIC training epoch (reference checkpoint.py:503-506)
-        path = get_path_to_checkpoint(
-            cfg.OUTPUT_DIR, int(cfg.TEST.TEST_EPOCH_NUM)
-        )
-        if not os.path.exists(path):
+        # test a SPECIFIC training epoch (reference checkpoint.py:503-506);
+        # slot runs checkpoint under EXP.PATH (OUTPUT_DIR/<exp_name>)
+        n = int(cfg.TEST.TEST_EPOCH_NUM)
+        candidates = [
+            get_path_to_checkpoint(base, n)
+            for base in (cfg.OUTPUT_DIR, exp_path)
+            if base
+        ]
+        path = next((c for c in candidates if os.path.exists(c)), None)
+        if path is None:
             raise FileNotFoundError(
-                f"TEST.TEST_EPOCH_NUM={cfg.TEST.TEST_EPOCH_NUM}: {path} "
-                f"does not exist"
+                f"TEST.TEST_EPOCH_NUM={n}: none of {candidates} exist"
             )
     elif cfg.TEST.CHECKPOINT_FILE_PATH:
         path = cfg.TEST.CHECKPOINT_FILE_PATH
