@@ -167,7 +167,10 @@ class Kinetics:
         from focus_tpu.datasets.rand_augment import rand_augment_video
 
         if cfg.AUG.AA_TYPE:
-            f, _ = rand_augment_video(frames, None, cfg.AUG.AA_TYPE, rng=rng)
+            f, _ = rand_augment_video(
+                frames, None, cfg.AUG.AA_TYPE, rng=rng,
+                interpolation=cfg.AUG.INTERPOLATION,
+            )
         else:
             f = frames
         f = data_utils.tensor_normalize(f, cfg.DATA.MEAN, cfg.DATA.STD)

@@ -47,44 +47,48 @@ def _affine_boxes(boxes, matrix, w, h):
     return out
 
 
-def _apply_affine(img, matrix):
+def _apply_affine(img, matrix, resample=Image.BILINEAR):
     return img.transform(
-        img.size, Image.AFFINE, matrix, Image.BILINEAR, fillcolor=_FILL
+        img.size, Image.AFFINE, matrix, resample, fillcolor=_FILL
     )
 
 
 # Each op: (fn(img, level, boxes) -> (img, boxes), uses magnitude)
 
-def _shear_x(img, v, boxes):
+def _shear_x(img, v, boxes, resample=Image.BILINEAR):
     m = (1, v, 0, 0, 1, 0)
-    return _apply_affine(img, m), _affine_boxes(boxes, m, *img.size)
+    return (_apply_affine(img, m, resample),
+            _affine_boxes(boxes, m, *img.size))
 
 
-def _shear_y(img, v, boxes):
+def _shear_y(img, v, boxes, resample=Image.BILINEAR):
     m = (1, 0, 0, v, 1, 0)
-    return _apply_affine(img, m), _affine_boxes(boxes, m, *img.size)
+    return (_apply_affine(img, m, resample),
+            _affine_boxes(boxes, m, *img.size))
 
 
-def _translate_x(img, v, boxes):
+def _translate_x(img, v, boxes, resample=Image.BILINEAR):
     pixels = v * img.size[0]
     m = (1, 0, pixels, 0, 1, 0)
-    return _apply_affine(img, m), _affine_boxes(boxes, m, *img.size)
+    return (_apply_affine(img, m, resample),
+            _affine_boxes(boxes, m, *img.size))
 
 
-def _translate_y(img, v, boxes):
+def _translate_y(img, v, boxes, resample=Image.BILINEAR):
     pixels = v * img.size[1]
     m = (1, 0, 0, 0, 1, pixels)
-    return _apply_affine(img, m), _affine_boxes(boxes, m, *img.size)
+    return (_apply_affine(img, m, resample),
+            _affine_boxes(boxes, m, *img.size))
 
 
-def _rotate(img, v, boxes):
+def _rotate(img, v, boxes, resample=Image.BILINEAR):
     w, h = img.size
     angle = math.radians(v)
     cos, sin = math.cos(angle), math.sin(angle)
     cx, cy = w / 2, h / 2
     # PIL rotate about center: output->input matrix
     m = (cos, sin, cx - cx * cos - cy * sin, -sin, cos, cy + cx * sin - cy * cos)
-    return _apply_affine(img, m), _affine_boxes(boxes, m, w, h)
+    return _apply_affine(img, m, resample), _affine_boxes(boxes, m, w, h)
 
 
 def _photo(fn):
@@ -164,17 +168,30 @@ def parse_aa_config(config_str: str):
     return magnitude, num_layers, mstd, increasing
 
 
+_AFFINE_OPS = {"ShearX", "ShearY", "TranslateXRel", "TranslateYRel", "Rotate"}
+_INTERP = {
+    "bilinear": (Image.BILINEAR,),
+    "bicubic": (Image.BICUBIC,),
+    "nearest": (Image.NEAREST,),
+    # timm 'random': pick per-op between bilinear and bicubic
+    "random": (Image.BILINEAR, Image.BICUBIC),
+}
+
+
 def rand_augment_video(
     frames: np.ndarray,
     boxes: Optional[np.ndarray],
     config_str: str,
     different_per_frame: bool = False,
     rng: Optional[np.random.RandomState] = None,
+    interpolation: str = "bilinear",
 ):
     """frames: [T, H, W, C] uint8; boxes: [T, O, 4] xyxy pixels or None.
-    Returns (frames, boxes)."""
+    ``interpolation`` (cfg.AUG.INTERPOLATION, timm semantics) selects
+    the affine resampling filter. Returns (frames, boxes)."""
     rng = rng or np.random.RandomState()
     magnitude, num_layers, mstd, increasing = parse_aa_config(config_str)
+    resample_choices = _INTERP.get(interpolation, (Image.BILINEAR,))
     T = frames.shape[0]
 
     def sample_ops():
@@ -197,10 +214,16 @@ def rand_augment_video(
         for name, level in ops:
             v = _level_to_arg(name, level, increasing)
             # random sign for geometric ops (timm behaviour)
-            if name in ("ShearX", "ShearY", "TranslateXRel", "TranslateYRel",
-                        "Rotate") and rng.rand() > 0.5:
+            if name in _AFFINE_OPS and rng.rand() > 0.5:
                 v = -v
-            img, fb = _OPS[name](img, v, fb)
+            if name in _AFFINE_OPS:
+                rs = resample_choices[
+                    rng.randint(len(resample_choices))
+                    if len(resample_choices) > 1 else 0
+                ]
+                img, fb = _OPS[name](img, v, fb, resample=rs)
+            else:
+                img, fb = _OPS[name](img, v, fb)
         out_frames[t] = np.asarray(img)
         if out_boxes is not None:
             w, h = img.size

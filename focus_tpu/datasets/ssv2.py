@@ -272,6 +272,7 @@ class Ssv2:
             frames, boxes = rand_augment_video(
                 frames, boxes, cfg.AUG.AA_TYPE,
                 different_per_frame=cfg.AUG.DIFFERENT_AUG_PER_FRAME, rng=rng,
+                interpolation=cfg.AUG.INTERPOLATION,
             )
 
         frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
