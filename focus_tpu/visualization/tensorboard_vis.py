@@ -95,13 +95,22 @@ def plot_topk_histogram(class_name, counts, k, class_names, figsize=None):
     return fig
 
 
-def _load_json_list(path):
-    if not path:
-        return None
-    import json
+def _class_metadata(tb):
+    """Resolve CLASS_NAMES/CATEGORIES/SUBSET paths to (names, parent_map,
+    cm_subset_ids, hist_subset_ids) via the reference's get_class_names
+    semantics (reference tensorboard_vis.py:64-91, utils/misc.py:316)."""
+    from focus_tpu.visualization.video_visualizer import get_class_names
 
-    with open(path) as f:
-        return json.load(f)
+    names, parents, cm_subset = get_class_names(
+        tb.CLASS_NAMES_PATH, tb.CATEGORIES_PATH,
+        tb.CONFUSION_MATRIX.SUBSET_PATH,
+    )
+    hist_subset = None
+    if tb.HISTOGRAM.SUBSET_PATH:
+        _, _, hist_subset = get_class_names(
+            tb.CLASS_NAMES_PATH, None, tb.HISTOGRAM.SUBSET_PATH
+        )
+    return names, parents, cm_subset, hist_subset
 
 
 class TensorboardWriter:
@@ -119,11 +128,10 @@ class TensorboardWriter:
             log_dir = os.path.join(cfg.OUTPUT_DIR, cfg.TENSORBOARD.LOG_DIR)
         self.writer = SummaryWriter(log_dir=log_dir)
         # class-name / subset metadata for eval plots (reference
-        # tensorboard_vis.py:40-76)
+        # tensorboard_vis.py:40-91)
         tb = cfg.TENSORBOARD
-        self.class_names = _load_json_list(tb.CLASS_NAMES_PATH)
-        self.cm_subset = _load_json_list(tb.CONFUSION_MATRIX.SUBSET_PATH)
-        self.hist_subset = _load_json_list(tb.HISTOGRAM.SUBSET_PATH)
+        (self.class_names, self.parent_map, self.cm_subset,
+         self.hist_subset) = _class_metadata(tb)
         logger.info(f"Tensorboard visualization at {log_dir}")
 
     def add_scalars(self, data_dict, global_step=None):
@@ -166,6 +174,21 @@ class TensorboardWriter:
                 )
                 self.writer.add_figure(
                     "Confusion Matrix Subset", fig, global_step
+                )
+            # per-parent-category confusion matrices (reference
+            # tensorboard_vis.py:139-160)
+            for parent, children in (self.parent_map or {}).items():
+                if not children:
+                    continue
+                sub = cmtx[children][:, children]
+                fig = plot_confusion_matrix(
+                    sub, [names[j] for j in children],
+                    figsize=tb.CONFUSION_MATRIX.FIGSIZE,
+                )
+                self.writer.add_figure(
+                    "Confusion Matrices Grouped by Parent Classes/"
+                    + parent,
+                    fig, global_step,
                 )
         if tb.HISTOGRAM.ENABLE:
             ids = self.hist_subset or range(num_classes)

@@ -21,9 +21,13 @@ logger = logging.get_logger(__name__)
 
 
 def get_class_names(path, parent_path=None, subset_path=None):
-    """Load {classname: id} json maps (reference video_visualizer.py:21-42
-    via utils.get_class_names). Returns (class_names, parents, subset)."""
-    class_names, parents, subset = None, None, None
+    """Load class-name metadata (reference utils/misc.py:316-384
+    get_class_names). ``path`` is a {classname: id} json map;
+    ``parent_path`` a {parent: [child names]} json map (children are
+    resolved to ids); ``subset_path`` a newline-separated text file of
+    class names (a json list of ids is also accepted). Returns
+    (class_names, parents, subset_ids)."""
+    class_names, mapping, parents, subset = None, None, None, None
     if path:
         with open(path) as f:
             mapping = json.load(f)
@@ -32,10 +36,24 @@ def get_class_names(path, parent_path=None, subset_path=None):
             class_names[idx] = name
     if parent_path:
         with open(parent_path) as f:
-            parents = json.load(f)
+            d_parent = json.load(f)
+        parents = {
+            parent: [
+                mapping[c] for c in children
+                if mapping and mapping.get(c) is not None
+            ]
+            for parent, children in d_parent.items()
+        }
     if subset_path:
         with open(subset_path) as f:
-            subset = json.load(f)
+            raw = f.read()
+        try:
+            subset = [int(i) for i in json.loads(raw)]
+        except (json.JSONDecodeError, TypeError, ValueError):
+            subset = [
+                mapping[name] for name in raw.split("\n")
+                if mapping and mapping.get(name) is not None
+            ]
     return class_names, parents, subset
 
 

@@ -59,6 +59,46 @@ def test_writer_plot_eval_writes_events(tmp_path):
     assert os.path.getsize(events[0]) > 1000  # figures actually logged
 
 
+def test_writer_parent_category_panels(tmp_path):
+    """CATEGORIES_PATH groups confusion matrices by parent class, and the
+    class-names/subset files use the reference formats ({name: id} json;
+    newline-separated subset names). Reference tensorboard_vis.py:139-160,
+    utils/misc.py:316-384."""
+    pytest.importorskip("torch.utils.tensorboard")
+    import json
+
+    from focus_tpu.config import get_cfg
+    from focus_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+    names = {f"c{i}": i for i in range(4)}
+    (tmp_path / "names.json").write_text(json.dumps(names))
+    (tmp_path / "cats.json").write_text(
+        json.dumps({"even": ["c0", "c2"], "odd": ["c1", "c3", "missing"]})
+    )
+    (tmp_path / "subset.txt").write_text("c1\nc2\nnot_a_class\n")
+
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.ENABLE = True
+    cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE = True
+    cfg.TENSORBOARD.CLASS_NAMES_PATH = str(tmp_path / "names.json")
+    cfg.TENSORBOARD.CATEGORIES_PATH = str(tmp_path / "cats.json")
+    cfg.TENSORBOARD.CONFUSION_MATRIX.SUBSET_PATH = str(tmp_path / "subset.txt")
+    cfg.MODEL.NUM_CLASSES = 4
+    writer = TensorboardWriter(cfg)
+    assert writer.class_names == ["c0", "c1", "c2", "c3"]
+    assert writer.parent_map == {"even": [0, 2], "odd": [1, 3]}
+    assert writer.cm_subset == [1, 2]
+    rs = np.random.RandomState(0)
+    writer.plot_eval(rs.rand(20, 4), rs.randint(0, 4, 20), global_step=1)
+    writer.close()
+    import glob
+    import os
+
+    events = glob.glob(os.path.join(str(tmp_path), "runs-*", "events.*"))
+    assert events and os.path.getsize(events[0]) > 1000
+
+
 def test_visualize_from_saved_predictions(tmp_path):
     """TENSORBOARD.PREDICTIONS_PATH renders eval panels from a saved
     [preds, labels] pickle (the TEST.SAVE_RESULTS_PATH artifact) without
