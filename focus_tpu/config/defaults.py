@@ -521,6 +521,18 @@ _DEFAULTS = {
         # output path for tools/export_model.py (serialized jax.export
         # StableHLO artifact of the eval step, weights baked in).
         "EXPORT_PATH": "",
+        # ZeRO-1 optimizer-state sharding (parallel/mesh.py
+        # state_shardings): shard the adamw moments over the data axis;
+        # each DP group updates a 1/dp slice and all-gathers new params.
+        # Cuts optimizer memory per device by the data-axis size. A TPU
+        # scaling extension beyond the reference's DDP.
+        "ZERO1": False,
+        # accumulate gradients over this many microbatches per optimizer
+        # step (lax.scan inside the jitted step; TRAIN.BATCH_SIZE must be
+        # divisible by it). Trades wall-clock for activation memory —
+        # lets large-resolution recipes keep their effective batch. A
+        # TPU extension beyond the reference.
+        "GRAD_ACCUM": 1,
         # write checkpoints on a background thread (device fetch stays
         # synchronous for a consistent snapshot; serialisation + disk IO
         # overlap the following train steps).
@@ -530,6 +542,13 @@ _DEFAULTS = {
         # tanh-approximate gelu in MLPs (MXU-adjacent VPU saver; ~1e-4
         # output delta vs the exact erf gelu the reference uses)
         "FAST_GELU": False,
+        # int8 serving mode (ops/quant.py): the transformer dense layers
+        # (qkv/proj/fc1/fc2) run as dynamic W8A8 int8 matmuls on the MXU
+        # (2x the bf16 peak on v5e-class parts). Eval/serving only —
+        # train steps keep full precision. Param tree unchanged, no
+        # calibration. A labeled variant: the parity-tested numerics are
+        # the default exact-erf path.
+        "INT8_SERVING": False,
         # rematerialise scanned trajectory blocks in training (saves the
         # O(S^2 F) attention residuals; backward recomputes)
         "REMAT": False,

@@ -185,6 +185,100 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
                 stats.update(_topk_errors_device(logits, hard_labels))
         return new_state, stats
 
+    accum = max(int(getattr(cfg.TPU, "GRAD_ACCUM", 1) or 1), 1)
+
+    def _microbatch(x):
+        """[B, ...] -> [accum, B/accum, ...] with microbatch a = x[a::A]
+        (strided split: each device's contiguous data shard splits into A
+        local microbatches — no cross-device reshuffle under DP)."""
+        b = x.shape[0]
+        x = jnp.swapaxes(x.reshape(b // accum, accum, *x.shape[1:]), 0, 1)
+        return jax.lax.with_sharding_constraint(
+            x,
+            jax.sharding.NamedSharding(
+                mesh,
+                jax.sharding.PartitionSpec(
+                    None, mesh_lib.DATA_AXIS, *([None] * (x.ndim - 2))
+                ),
+            ),
+        )
+
+    def train_step_accum(state, video, labels, metadata, base_rng):
+        """TPU.GRAD_ACCUM > 1: scan the forward/backward over microbatches
+        carrying a gradient sum (and BN stats sequentially), then apply
+        one optimizer update of the mean gradient. Activation memory
+        scales 1/accum; loss/top-k are means over microbatches."""
+        rng = jax.random.fold_in(base_rng, state.step)
+        hard_labels = labels
+        if use_mixup:
+            k_mix, rng = jax.random.split(rng)
+            video, labels = _device_mixup(k_mix, video, labels, cfg)
+
+        def forward(params, batch_stats, video, labels, metadata, rng):
+            variables = {"params": params}
+            has_bn = batch_stats is not None
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+            cols = (["batch_stats"] if has_bn else []) + (
+                ["moe"] if moe_on else []
+            )
+            args = (video, metadata, metadata["boxes"]) if detection else (
+                video, metadata)
+            out = model.apply(
+                variables, *args, train=True, rngs={"dropout": rng},
+                mutable=cols if cols else False,
+            )
+            preds, new_vars = out if cols else (out, {})
+            if detection:
+                loss = _detection_loss(preds, labels, metadata["boxes_mask"])
+            else:
+                loss = loss_fn(preds, labels)
+            if moe_on:
+                loss = loss + moe_aux_w * _moe_aux(new_vars)
+            return loss, (preds, new_vars)
+
+        xs = {
+            "video": jax.tree_util.tree_map(_microbatch, video),
+            "labels": jax.tree_util.tree_map(_microbatch, labels),
+            "metadata": jax.tree_util.tree_map(_microbatch, metadata),
+            "rng": jax.random.split(rng, accum),
+        }
+        if not is_ek and not cfg.DATA.MULTI_LABEL and not detection and (
+            getattr(hard_labels, "ndim", 1) == 1
+        ):
+            xs["hard_labels"] = _microbatch(hard_labels)
+
+        grad0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def micro(carry, x):
+            grads_sum, batch_stats = carry
+            (loss, (preds, new_vars)), g = jax.value_and_grad(
+                forward, has_aux=True
+            )(state.params, batch_stats, x["video"], x["labels"],
+              x["metadata"], x["rng"])
+            grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, g)
+            if batch_stats is not None:
+                batch_stats = new_vars["batch_stats"]
+            stats = {"loss": loss}
+            if moe_on:
+                stats["moe_aux"] = _moe_aux(new_vars)
+            if "hard_labels" in x:
+                logits = preds[0] if isinstance(preds, tuple) else preds
+                stats.update(_topk_errors_device(logits, x["hard_labels"]))
+            return (grads_sum, batch_stats), stats
+
+        (grads_sum, batch_stats), stats = jax.lax.scan(
+            micro, (grad0, state.batch_stats), xs
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
+        new_state = state.apply_gradients(grads)
+        if batch_stats is not None:
+            new_state = new_state.replace(batch_stats=batch_stats)
+        return new_state, {k: v.mean() for k, v in stats.items()}
+
+    if accum > 1:
+        train_step = train_step_accum
+
     data = mesh_lib.batch_sharded(mesh)
     kw = {}
     if state_sharding is not None:
@@ -264,8 +358,11 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
 
         state = timm_pretrained.load_into_state(cfg, state)
     # replicated for pure DP; tensor-parallel specs on the transformer
-    # dense layers when the mesh has a model axis (TPU extension)
-    state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
+    # dense layers when the mesh has a model axis, dp-sharded optimizer
+    # moments under TPU.ZERO1 (TPU extensions)
+    state = jax.device_put(
+        state, mesh_lib.state_shardings(mesh, state, zero1=cfg.TPU.ZERO1)
+    )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     logger.info(
         f"{cfg.MODEL.MODEL_NAME} initialised: {n_params / 1e6:.2f}M params"
@@ -451,18 +548,25 @@ def train(cfg):
 
     start_epoch = 0
     ckpt_dir = cfg.OUTPUT_DIR
+    zero1 = bool(cfg.TPU.ZERO1)
     if cfg.TRAIN.AUTO_RESUME and cu.has_checkpoint(ckpt_dir):
         state, start_epoch = cu.load_checkpoint(
             cu.get_last_checkpoint(ckpt_dir), state
         )
-        state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
+        state = jax.device_put(
+            state, mesh_lib.state_shardings(mesh, state, zero1=zero1)
+        )
     elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
         state, start_epoch = cu.load_train_checkpoint(cfg, state)
-        state = jax.device_put(state, mesh_lib.state_shardings(mesh, state))
+        state = jax.device_put(
+            state, mesh_lib.state_shardings(mesh, state, zero1=zero1)
+        )
 
     loss_fn = losses_lib.get_loss_func(cfg)
-    state_sharding = mesh_lib.state_shardings(mesh, state)
-    if not mesh_lib.has_param_sharding(mesh):
+    state_sharding = mesh_lib.state_shardings(mesh, state, zero1=zero1)
+    if not mesh_lib.has_param_sharding(mesh) and not (
+        zero1 and mesh.shape[mesh_lib.DATA_AXIS] > 1
+    ):
         state_sharding = None  # pure DP: keep the unpinned signature
     train_step = make_supervised_train_step(
         model, cfg, mesh, loss_fn, state_sharding=state_sharding
@@ -499,8 +603,12 @@ def train(cfg):
                 model, train_loader, state = _rebuild_for_long_cycle(
                     cfg, mesh, state, cur_epoch
                 )
-                state_sharding = mesh_lib.state_shardings(mesh, state)
-                if not mesh_lib.has_param_sharding(mesh):
+                state_sharding = mesh_lib.state_shardings(
+                    mesh, state, zero1=zero1
+                )
+                if not mesh_lib.has_param_sharding(mesh) and not (
+                    zero1 and mesh.shape[mesh_lib.DATA_AXIS] > 1
+                ):
                     state_sharding = None
                 train_step = make_supervised_train_step(
                     model, cfg, mesh, loss_fn, state_sharding=state_sharding

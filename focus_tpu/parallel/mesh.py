@@ -235,20 +235,54 @@ def _param_spec(path, leaf, model_size: int, pipe_size: int,
     return P(*spec)
 
 
-def state_shardings(mesh: Mesh, state):
+def _zero1_spec(spec: P, leaf, dp_size: int) -> P:
+    """Add DATA_AXIS to the first unsharded dim divisible by the data-axis
+    size. Optimizer moments are updated elementwise, so any split is
+    valid; indivisible leaves (and scalars like the adam count) stay
+    replicated."""
+    ndim = getattr(leaf, "ndim", 0)
+    spec = list(spec) + [None] * (ndim - len(spec))
+    for d in range(ndim):
+        if spec[d] is None and leaf.shape[d] % dp_size == 0 and leaf.shape[d] > 0:
+            spec[d] = DATA_AXIS
+            return P(*spec)
+    return P(*spec) if any(spec) else P()
+
+
+def state_shardings(mesh: Mesh, state, zero1: bool = False):
     """Per-leaf NamedShardings for a TrainState: tensor-parallel specs on
     the recognised dense layers and pipeline-stage specs on pipelined
     stacks (params AND their optimizer moments — the rules match path
-    suffixes, which the adamw mu/nu trees share), replicated elsewhere."""
+    suffixes, which the adamw mu/nu trees share), replicated elsewhere.
+
+    ``zero1`` (TPU.ZERO1, a TPU extension — the reference's DDP keeps full
+    optimizer state per GPU): additionally shard every ``opt_state`` leaf
+    over the data axis. GSPMD then emits the ZeRO-1 schedule — each
+    data-parallel group updates a 1/dp slice of the adamw moments and
+    all-gathers the new params — cutting optimizer memory per device by
+    the data-axis size at the cost of one params all-gather per step."""
     model_size = mesh.shape[MODEL_AXIS]
     pipe_size = dict(mesh.shape).get(PIPE_AXIS, 1)
     expert_size = dict(mesh.shape).get(EXPERT_AXIS, 1)
-    if model_size <= 1 and pipe_size <= 1 and expert_size <= 1:
+    dp_size = dict(mesh.shape).get(DATA_AXIS, 1)
+    zero1 = zero1 and dp_size > 1
+    if model_size <= 1 and pipe_size <= 1 and expert_size <= 1 and not zero1:
         return replicated(mesh)
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(
-            mesh,
-            _param_spec(path, leaf, model_size, pipe_size, expert_size),
-        ),
-        state,
+
+    def leaf_sharding(path, leaf, in_opt_state):
+        spec = _param_spec(path, leaf, model_size, pipe_size, expert_size)
+        if zero1 and in_opt_state:
+            spec = _zero1_spec(spec, leaf, dp_size)
+        return NamedSharding(mesh, spec)
+
+    if not zero1:
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: leaf_sharding(path, leaf, False), state
+        )
+    opt_sh = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: leaf_sharding(path, leaf, True), state.opt_state
     )
+    rest = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: leaf_sharding(path, leaf, False), state
+    )
+    return rest.replace(opt_state=opt_sh)

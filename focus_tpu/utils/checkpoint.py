@@ -93,6 +93,18 @@ def save_checkpoint(
     Writes stay ordered (one writer thread chain) and atomic
     (.tmp + rename); call :func:`wait_for_saves` before reading a
     checkpoint back in-process or exiting."""
+    # leaves sharded across hosts (tensor/pipeline/expert axes spanning
+    # processes, or TPU.ZERO1 moments over a multi-host data axis) are
+    # not addressable from process 0 alone — gather them collectively
+    # BEFORE the proc-0 gate (every process must join the collective)
+    def _fetch_leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(x)
+        return x
+
+    state = jax.tree_util.tree_map(_fetch_leaf, state)
     if jax.process_index() != 0:
         return None
     if async_write is None:

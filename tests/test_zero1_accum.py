@@ -1,0 +1,127 @@
+"""ZeRO-1 optimizer-state sharding and gradient accumulation (TPU
+extensions beyond the reference's DDP; parallel/mesh.py state_shardings
+``zero1`` and engine/trainer.py ``train_step_accum``).
+
+On the virtual 8-device CPU mesh these check (a) the adamw moments land
+dp-sharded while params stay replicated, (b) a ZeRO-1 step matches the
+plain-DP step numerically, (c) GRAD_ACCUM=k over the same total batch
+matches the single-shot step's update (identical data, dropout off).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from focus_tpu.engine.trainer import (
+    build_supervised_state,
+    make_supervised_train_step,
+)
+from focus_tpu.models import losses as losses_lib
+from focus_tpu.models.build import build_model
+from focus_tpu.parallel import mesh as mesh_lib
+
+
+def _make_batch(cfg, B=8, seed=0):
+    rs = np.random.RandomState(seed)
+    video = rs.rand(B, 4, 32, 32, 3).astype(np.float32)
+    labels = (np.arange(B) % cfg.MODEL.NUM_CLASSES).astype(np.int32)
+    boxes = (rs.rand(B, 2, 4, 4) * 0.5 + 0.25).astype(np.float32)
+    return video, labels, {"orvit_bboxes": boxes}
+
+
+def _run_step(zero1=False, accum=1, B=8):
+    import __graft_entry__ as ge
+
+    cfg = ge._flagship_cfg(tiny=True)
+    cfg.TPU.ZERO1 = zero1
+    cfg.TPU.GRAD_ACCUM = accum
+    # deterministic across accum variants: no dropout, no mixup
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.MODEL.DROPCONNECT_RATE = 0.0
+    cfg.MF.DROP = 0.0
+    cfg.MF.DROP_PATH = 0.0
+    cfg.MF.ATTN_DROPOUT = 0.0
+    cfg.MF.POS_DROPOUT = 0.0
+    cfg.MF.HEAD_DROPOUT = 0.0
+    mesh = mesh_lib.build_mesh(cfg, devices=jax.devices()[:8])
+    model = build_model(cfg)
+    video, labels, metadata = _make_batch(cfg, B)
+    batch = (video, labels, np.arange(B, dtype=np.int32), metadata)
+    state = build_supervised_state(cfg, model, mesh, batch, 10)
+    sharding = mesh_lib.state_shardings(mesh, state, zero1=zero1)
+    state = jax.device_put(state, sharding)
+    step = make_supervised_train_step(
+        model, cfg, mesh, losses_lib.get_loss_func(cfg),
+        state_sharding=sharding if zero1 else None,
+    )
+    sharded = mesh_lib.shard_batch(mesh, (video, labels, metadata))
+    state, stats = step(
+        state, sharded[0], sharded[1], sharded[2], jax.random.PRNGKey(0)
+    )
+    return state, {k: float(v) for k, v in jax.device_get(stats).items()}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_zero1_shards_opt_state_only():
+    import __graft_entry__ as ge
+
+    cfg = ge._flagship_cfg(tiny=True)
+    mesh = mesh_lib.build_mesh(cfg, devices=jax.devices()[:8])
+    model = build_model(cfg)
+    video, labels, metadata = _make_batch(cfg)
+    batch = (video, labels, np.arange(8, dtype=np.int32), metadata)
+    state = build_supervised_state(cfg, model, mesh, batch, 10)
+    sh = mesh_lib.state_shardings(mesh, state, zero1=True)
+    # params replicated
+    for leaf in jax.tree_util.tree_leaves(sh.params):
+        assert all(a is None for a in leaf.spec), leaf.spec
+    # every divisible moment leaf carries the data axis exactly once
+    opt_leaves = jax.tree_util.tree_leaves(sh.opt_state)
+    param_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    n_sharded = 0
+    for spec_leaf, arr in zip(opt_leaves, param_leaves):
+        spec = spec_leaf.spec
+        has_data = any(a == "data" for a in spec)
+        divisible = any(
+            d % mesh.shape["data"] == 0 and d > 0 for d in arr.shape
+        )
+        assert has_data == divisible, (spec, arr.shape)
+        n_sharded += int(has_data)
+    assert n_sharded > 10  # the adamw mu/nu trees are really sharded
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_zero1_matches_dp_step():
+    state_dp, stats_dp = _run_step(zero1=False)
+    state_z1, stats_z1 = _run_step(zero1=True)
+    np.testing.assert_allclose(
+        stats_z1["loss"], stats_dp["loss"], rtol=1e-5
+    )
+    # updated params agree (the all-gathered ZeRO-1 update is the same
+    # math as the replicated adamw update)
+    p_dp = jax.tree_util.tree_leaves(jax.device_get(state_dp.params))
+    p_z1 = jax.tree_util.tree_leaves(jax.device_get(state_z1.params))
+    for a, b in zip(p_dp, p_z1):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_grad_accum_matches_single_shot():
+    state_1, stats_1 = _run_step(accum=1)
+    state_2, stats_2 = _run_step(accum=2)
+    np.testing.assert_allclose(
+        stats_2["loss"], stats_1["loss"], rtol=1e-5, atol=1e-6
+    )
+    p_1 = jax.tree_util.tree_leaves(jax.device_get(state_1.params))
+    p_2 = jax.tree_util.tree_leaves(jax.device_get(state_2.params))
+    for a, b in zip(p_1, p_2):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_grad_accum_composes_with_zero1():
+    state, stats = _run_step(zero1=True, accum=4)
+    assert np.isfinite(stats["loss"])
+    # microbatch split is strided and local: loss matches accum=1 too
+    _, stats_1 = _run_step(accum=1)
+    np.testing.assert_allclose(stats["loss"], stats_1["loss"], rtol=1e-5)
