@@ -39,13 +39,26 @@ class Mlp(nn.Module):
     out_features: Optional[int] = None
     drop: float = 0.0
     fast_gelu: bool = False
+    int8_dense: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_dim = self.out_features or x.shape[-1]
-        x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_02,
-                     dtype=self.dtype, name="fc1")(x)
+        quant = self.int8_dense and deterministic
+
+        def dense_q(feat, name, inp):
+            """int8 MXU dense under TPU.INT8_SERVING at eval (param tree
+            identical to nn.Dense, so checkpoints interchange)."""
+            if not quant:
+                return nn.Dense(feat, kernel_init=trunc_normal_02,
+                                dtype=self.dtype, name=name)(inp)
+            from focus_tpu.ops.quant import quantized_dense
+
+            w, b = _DenseParams(inp.shape[-1], feat, True, name=name)()
+            return quantized_dense(inp, w, b)
+
+        x = dense_q(self.hidden_features, "fc1", x)
         if self.fast_gelu:
             x = nn.gelu(x, approximate=True)
         else:
@@ -56,8 +69,7 @@ class Mlp(nn.Module):
             )
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(self.drop, deterministic=False)(x)
-        x = nn.Dense(out_dim, kernel_init=trunc_normal_02, dtype=self.dtype,
-                     name="fc2")(x)
+        x = dense_q(out_dim, "fc2", x)
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(self.drop, deterministic=False)(x)
         return x
@@ -151,6 +163,7 @@ class TrajectoryAttention(nn.Module):
     proj_drop: float = 0.0
     use_original_code: bool = True
     use_pallas: bool = False
+    int8_dense: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -165,8 +178,19 @@ class TrajectoryAttention(nn.Module):
             feat, use_bias=bias, kernel_init=trunc_normal_02,
             dtype=self.dtype, name=name,
         )
+        quant = self.int8_dense and deterministic
 
-        qkv = dense(3 * C, "qkv", self.qkv_bias)(x)
+        def dense_q(feat, name, bias, inp):
+            """int8 MXU dense under TPU.INT8_SERVING at eval (param tree
+            identical to nn.Dense, so checkpoints interchange)."""
+            if not quant:
+                return dense(feat, name, bias)(inp)
+            from focus_tpu.ops.quant import quantized_dense
+
+            w, b = _DenseParams(inp.shape[-1], feat, bias, name=name)()
+            return quantized_dense(inp, w, b)
+
+        qkv = dense_q(3 * C, "qkv", self.qkv_bias, x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # 'b n (h d) -> (b h) n d'
         split_heads = lambda t: t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3).reshape(
@@ -261,17 +285,18 @@ class TrajectoryAttention(nn.Module):
 
         if with_cls_token:
             out = jnp.concatenate([cls_out, out], axis=1)
-        out = dense(C, "proj", True)(out)
+        out = dense_q(C, "proj", True, out)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(self.proj_drop, deterministic=False)(out)
         return out, thw
 
 
 def _block_mlp(dim, mlp_ratio, drop, fast_gelu, dtype, moe_experts,
-               moe_capacity):
+               moe_capacity, int8_dense=False):
     """The block MLP: dense (reference semantics) or, when
     cfg.TPU.MOE.NUM_EXPERTS > 1, the Switch-routed MoE extension
-    (models/moe.py)."""
+    (models/moe.py; the expert einsums stay bf16 — TPU.INT8_SERVING
+    covers the dense layers only)."""
     if moe_experts > 1:
         from focus_tpu.models.moe import MoEMlp
 
@@ -282,7 +307,7 @@ def _block_mlp(dim, mlp_ratio, drop, fast_gelu, dtype, moe_experts,
         )
     return Mlp(
         int(dim * mlp_ratio), drop=drop, fast_gelu=fast_gelu,
-        dtype=dtype, name="mlp",
+        int8_dense=int8_dense, dtype=dtype, name="mlp",
     )
 
 
@@ -299,6 +324,7 @@ class TrajectoryAttentionBlock(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    int8_dense: bool = False
     moe_experts: int = 0
     moe_capacity: float = 1.25
     dtype: Any = None
@@ -308,7 +334,7 @@ class TrajectoryAttentionBlock(nn.Module):
         y, _ = TrajectoryAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
             self.drop, self.use_original_code, use_pallas=self.use_pallas,
-            dtype=self.dtype, name="attn",
+            int8_dense=self.int8_dense, dtype=self.dtype, name="attn",
         )(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
             thw, deterministic=deterministic,
@@ -316,7 +342,8 @@ class TrajectoryAttentionBlock(nn.Module):
         dp = DropPath(self.drop_path_rate, name="drop_path")
         x = x + dp(y, deterministic=deterministic)
         y = _block_mlp(self.dim, self.mlp_ratio, self.drop, self.fast_gelu,
-                       self.dtype, self.moe_experts, self.moe_capacity)(
+                       self.dtype, self.moe_experts, self.moe_capacity,
+                       int8_dense=self.int8_dense)(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,
         )
@@ -340,6 +367,7 @@ class _TrajBlockScanBody(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    int8_dense: bool = False
     moe_experts: int = 0
     moe_capacity: float = 1.25
     dtype: Any = None
@@ -349,7 +377,7 @@ class _TrajBlockScanBody(nn.Module):
         y, _ = TrajectoryAttention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
             self.drop, self.use_original_code, use_pallas=self.use_pallas,
-            dtype=self.dtype, name="attn",
+            int8_dense=self.int8_dense, dtype=self.dtype, name="attn",
         )(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
             tuple(self.thw), deterministic=self.deterministic,
@@ -360,7 +388,8 @@ class _TrajBlockScanBody(nn.Module):
             {"sow_weight": moe_w} if self.moe_experts > 1 else {}
         )
         y = _block_mlp(self.dim, self.mlp_ratio, self.drop, self.fast_gelu,
-                       self.dtype, self.moe_experts, self.moe_capacity)(
+                       self.dtype, self.moe_experts, self.moe_capacity,
+                       int8_dense=self.int8_dense)(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=self.deterministic, **mlp_kwargs,
         )
@@ -386,6 +415,7 @@ class ScannedTrajBlocks(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    int8_dense: bool = False
     moe_experts: int = 0
     moe_capacity: float = 1.25
     remat: bool = False
@@ -417,6 +447,7 @@ class ScannedTrajBlocks(nn.Module):
             deterministic=deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            int8_dense=self.int8_dense,
             moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             dtype=self.dtype, name="body",
         )(x, dpr)
@@ -439,6 +470,7 @@ class _PipeStageStack(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    int8_dense: bool = False
     moe_experts: int = 0
     moe_capacity: float = 1.25
     remat: bool = False
@@ -467,6 +499,7 @@ class _PipeStageStack(nn.Module):
             deterministic=self.deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            int8_dense=self.int8_dense,
             moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             dtype=self.dtype, name="layers",
         )(x, dpr_stage, moe_w)
@@ -495,6 +528,7 @@ class _PipeTick(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    int8_dense: bool = False
     moe_experts: int = 0
     moe_capacity: float = 1.25
     remat: bool = False
@@ -526,6 +560,7 @@ class _PipeTick(nn.Module):
             deterministic=self.deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            int8_dense=self.int8_dense,
             moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             remat=self.remat, dtype=self.dtype, name="pipe_stages",
         )(state, dpr, valid)
@@ -566,6 +601,7 @@ class PipelinedTrajBlocks(nn.Module):
     use_original_code: bool = True
     use_pallas: bool = False
     fast_gelu: bool = False
+    int8_dense: bool = False
     moe_experts: int = 0
     moe_capacity: float = 1.25
     remat: bool = False
@@ -625,6 +661,7 @@ class PipelinedTrajBlocks(nn.Module):
             deterministic=deterministic,
             use_original_code=self.use_original_code,
             use_pallas=self.use_pallas, fast_gelu=self.fast_gelu,
+            int8_dense=self.int8_dense,
             moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             remat=self.remat, dtype=self.dtype, name="ticks",
         )(state0, (feeds, valid))
@@ -638,6 +675,7 @@ class SelfAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = False
     proj_drop: float = 0.0
+    int8_dense: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -645,15 +683,24 @@ class SelfAttention(nn.Module):
         B, N, C = x.shape
         h = self.num_heads
         hd = C // h
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
-                       kernel_init=trunc_normal_02, dtype=self.dtype,
-                       name="qkv")(x)
+        quant = self.int8_dense and deterministic
+
+        def dense_q(feat, name, bias, inp):
+            if not quant:
+                return nn.Dense(feat, use_bias=bias,
+                                kernel_init=trunc_normal_02,
+                                dtype=self.dtype, name=name)(inp)
+            from focus_tpu.ops.quant import quantized_dense
+
+            w, b = _DenseParams(inp.shape[-1], feat, bias, name=name)()
+            return quantized_dense(inp, w, b)
+
+        qkv = dense_q(3 * C, "qkv", self.qkv_bias, x)
         qkv = qkv.reshape(B, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         out = attn_ops.joint_attention(q, k, v, hd ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = nn.Dense(C, kernel_init=trunc_normal_02, dtype=self.dtype,
-                       name="proj")(out)
+        out = dense_q(C, "proj", True, out)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(self.proj_drop, deterministic=False)(out)
         return out, thw
@@ -669,19 +716,21 @@ class SelfAttentionBlock(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     fast_gelu: bool = False
+    int8_dense: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, metadata=None, thw=None, deterministic: bool = True):
         y, thw = SelfAttention(
             self.dim, self.num_heads, self.qkv_bias, self.drop_rate,
-            dtype=self.dtype, name="attn",
+            int8_dense=self.int8_dense, dtype=self.dtype, name="attn",
         )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), thw,
           deterministic=deterministic)
         dp = DropPath(self.drop_path_rate, name="drop_path")
         x = x + dp(y, deterministic=deterministic)
         y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop_rate,
-                fast_gelu=self.fast_gelu, dtype=self.dtype, name="mlp")(
+                fast_gelu=self.fast_gelu, int8_dense=self.int8_dense,
+                dtype=self.dtype, name="mlp")(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,
         )
@@ -878,6 +927,7 @@ class Motionformer(nn.Module):
             )
 
         fast_gelu = bool(getattr(c.TPU, "FAST_GELU", False))
+        int8_dense = bool(getattr(c.TPU, "INT8_SERVING", False))
         moe_cfg = getattr(c.TPU, "MOE", None)
         moe_experts = int(getattr(moe_cfg, "NUM_EXPERTS", 0) or 0)
         moe_capacity = float(getattr(moe_cfg, "CAPACITY_FACTOR", 1.25))
@@ -888,7 +938,8 @@ class Motionformer(nn.Module):
                 mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
                 drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
                 drop_path_rate=dpr[i], use_pallas=use_pallas,
-                fast_gelu=fast_gelu, moe_experts=moe_experts,
+                fast_gelu=fast_gelu, int8_dense=int8_dense,
+                moe_experts=moe_experts,
                 moe_capacity=moe_capacity,
                 dtype=self.dtype, name=f"blocks_{i}",
             )
@@ -912,7 +963,8 @@ class Motionformer(nn.Module):
                     mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
                     drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
                     dpr=tuple(dpr), use_pallas=use_pallas,
-                    fast_gelu=fast_gelu, moe_experts=moe_experts,
+                    fast_gelu=fast_gelu, int8_dense=int8_dense,
+                moe_experts=moe_experts,
                     moe_capacity=moe_capacity,
                     remat=bool(getattr(c.TPU, "REMAT", False)),
                     dtype=self.dtype, name=f"blocks_0_{self.depth - 1}",
@@ -940,7 +992,8 @@ class Motionformer(nn.Module):
                         qkv_bias=c.MF.QKV_BIAS, drop=c.MF.DROP,
                         attn_drop=c.MF.ATTN_DROPOUT, dpr=tuple(dpr[i:j]),
                         use_pallas=use_pallas,
-                        fast_gelu=fast_gelu, moe_experts=moe_experts,
+                        fast_gelu=fast_gelu, int8_dense=int8_dense,
+                moe_experts=moe_experts,
                         moe_capacity=moe_capacity,
                         remat=bool(getattr(c.TPU, "REMAT", False)),
                         dtype=self.dtype,

@@ -118,6 +118,7 @@ class MotionStream(nn.Module):
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
             drop_rate=self.attn_drop,
             fast_gelu=bool(getattr(self.cfg.TPU, "FAST_GELU", False)),
+            int8_dense=bool(getattr(self.cfg.TPU, "INT8_SERVING", False)),
             dtype=self.dtype, name="attn",
         )(flat, deterministic=deterministic)
         box_emb = flat.reshape(BS, T, O, in_dim)
@@ -184,6 +185,7 @@ class ORViTBlock(nn.Module):
             self.drop, use_original_code=True,
             use_pallas=bool(c.TPU.USE_PALLAS)
             and not int(getattr(c.TPU.MESH, "SEQ", 1)) > 1,
+            int8_dense=bool(getattr(c.TPU, "INT8_SERVING", False)),
             dtype=self.dtype, name="attn",
         )(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(all_tokens),
@@ -208,6 +210,7 @@ class ORViTBlock(nn.Module):
                 int(self.dim * self.mlp_ratio), out_features=self.dim,
                 drop=self.drop,
                 fast_gelu=bool(getattr(c.TPU, "FAST_GELU", False)),
+                int8_dense=bool(getattr(c.TPU, "INT8_SERVING", False)),
                 dtype=self.dtype, name="motion_mlp",
             )(motion, deterministic=deterministic)
             patch_out = patch_out + motion
@@ -218,6 +221,7 @@ class ORViTBlock(nn.Module):
         x = x + dp(patch_out, deterministic=deterministic)
         y = Mlp(int(self.dim * self.mlp_ratio), drop=self.drop,
                 fast_gelu=bool(getattr(c.TPU, "FAST_GELU", False)),
+                int8_dense=bool(getattr(c.TPU, "INT8_SERVING", False)),
                 dtype=self.dtype, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,

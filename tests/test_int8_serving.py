@@ -1,0 +1,101 @@
+"""TPU.INT8_SERVING — dynamic W8A8 int8 dense serving mode (ops/quant.py).
+
+Checks: the quantized dense op is accurate at the op level, the int8
+model reuses the f32 param tree unchanged (checkpoints interchange), the
+end-to-end eval logits stay close to the f32 path on the flagship tiny
+model, and the train path is untouched by the flag.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focus_tpu.ops import quant
+
+
+def test_quantized_dense_op_accuracy():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(6, 40, 64).astype(np.float32))
+    w = jnp.asarray((rs.randn(64, 96) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(96).astype(np.float32) * 0.1)
+    y_ref = x @ w + b
+    y_q = quant.quantized_dense(x, w, b)
+    # int8 dynamic quantization: ~1% relative error on gaussian data
+    err = np.abs(np.asarray(y_q - y_ref))
+    scale = np.abs(np.asarray(y_ref)).mean()
+    assert err.mean() / scale < 0.02, err.mean() / scale
+    assert np.isfinite(np.asarray(y_q)).all()
+
+
+def test_quantized_dense_zero_and_outlier_rows():
+    # all-zero tokens must not divide by zero; huge outliers must clip
+    x = jnp.zeros((4, 16), jnp.float32).at[1, 3].set(1e4)
+    w = jnp.ones((16, 8), jnp.float32)
+    y = quant.quantized_dense(x, w)
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_allclose(np.asarray(y[0]), 0.0)
+
+
+def _tiny_model_and_inputs(int8):
+    import __graft_entry__ as ge
+    from focus_tpu.models.build import build_model
+
+    cfg = ge._flagship_cfg(tiny=True)
+    cfg.TPU.INT8_SERVING = int8
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    B = 2
+    video = jnp.asarray(rs.rand(B, 4, 32, 32, 3).astype(np.float32))
+    boxes = jnp.asarray(
+        (rs.rand(B, 2, 4, 4) * 0.5 + 0.25).astype(np.float32)
+    )
+    return cfg, model, video, {"orvit_bboxes": boxes}
+
+
+def test_int8_model_reuses_f32_params_and_tracks_logits():
+    _, model_f32, video, metadata = _tiny_model_and_inputs(False)
+    _, model_q, _, _ = _tiny_model_and_inputs(True)
+    rng = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model_f32.init(rng, video, metadata)
+    # identical param trees: an f32-trained checkpoint serves as int8
+    vq = model_q.init(rng, video, metadata)
+    t1 = jax.tree_util.tree_structure(variables)
+    t2 = jax.tree_util.tree_structure(vq)
+    assert t1 == t2
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables)[0],
+        jax.tree_util.tree_flatten_with_path(vq)[0],
+    ):
+        assert p1 == p2 and a.shape == b.shape
+
+    logits_f32 = model_f32.apply(variables, video, metadata, train=False)
+    logits_q = model_q.apply(variables, video, metadata, train=False)
+    logits_f32 = np.asarray(
+        logits_f32[0] if isinstance(logits_f32, tuple) else logits_f32
+    )
+    logits_q = np.asarray(
+        logits_q[0] if isinstance(logits_q, tuple) else logits_q
+    )
+    # eval logits are post-softmax probabilities; int8 drift stays small
+    assert np.isfinite(logits_q).all()
+    assert np.abs(logits_q - logits_f32).max() < 0.05, (
+        np.abs(logits_q - logits_f32).max()
+    )
+
+
+def test_int8_train_path_stays_full_precision():
+    _, model_q, video, metadata = _tiny_model_and_inputs(True)
+    _, model_f32, _, _ = _tiny_model_and_inputs(False)
+    rng = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model_f32.init(rng, video, metadata)
+    out_q = model_q.apply(
+        variables, video, metadata, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    out_f = model_f32.apply(
+        variables, video, metadata, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    out_q = out_q[0] if isinstance(out_q, tuple) else out_q
+    out_f = out_f[0] if isinstance(out_f, tuple) else out_f
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_f))
