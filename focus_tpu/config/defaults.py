@@ -355,6 +355,13 @@ _DEFAULTS = {
         "NUM_WORKERS": 8,
         "PIN_MEMORY": True,
         "ENABLE_MULTI_THREAD_DECODE": False,
+        # worker pool kind (TPU extension): "thread" (default — decode
+        # and cv2/numpy transforms release the GIL, so threads scale
+        # with zero IPC cost) or "process" (spawn-context pool; sidesteps
+        # the GIL entirely for Python-heavy __getitem__ paths on
+        # many-core hosts at the cost of pickling the dataset once per
+        # worker and samples back per item).
+        "WORKER_BACKEND": "thread",
     },
     # ----- detection options (:859-871) -----
     "DETECTION": {
@@ -537,6 +544,14 @@ _DEFAULTS = {
         # synchronous for a consistent snapshot; serialisation + disk IO
         # overlap the following train steps).
         "ASYNC_CHECKPOINT": False,
+        # on SIGTERM (TPU spot preemption / maintenance drain), save a
+        # mid-run checkpoint at the next sync point and exit 0 so the
+        # scheduler requeues; AUTO_RESUME replays the interrupted epoch
+        # (utils/preemption.py).
+        "PREEMPTION_SAVE": True,
+        # iterations between multi-host preemption agreement checks (a
+        # tiny all-gather on multi-host; a flag read single-host).
+        "PREEMPT_SYNC_PERIOD": 10,
         # use Pallas kernels for hot ops when running on TPU.
         "USE_PALLAS": True,
         # tanh-approximate gelu in MLPs (MXU-adjacent VPU saver; ~1e-4

@@ -125,11 +125,16 @@ def build_slot_state(cfg, model, mesh, sample_video):
 
 
 def slot_train_epoch(
-    train_loader, state, train_step, cur_epoch, cfg, base_rng, writer=None
+    train_loader, state, train_step, cur_epoch, cfg, base_rng, writer=None,
+    preempt_guard=None,
 ):
     data_size = len(train_loader)
     stats = None
     for cur_iter, video in enumerate(train_loader):
+        if preempt_guard is not None and preempt_guard.poll(cur_iter - 1):
+            from focus_tpu.utils.preemption import PreemptionSignaled
+
+            raise PreemptionSignaled(cur_epoch, state)
         state, stats = train_step(state, video, base_rng)
         global_step = cur_epoch * data_size + cur_iter
         if (cur_iter + 1) % cfg.LOG_PERIOD == 0:
@@ -231,13 +236,44 @@ def slot_train(cfg):
     best_val_loss = math.inf
     epoch_timer = EpochTimer()
     opd = {"tau": cfg.SLOTS_OPTIM.TAU_START, "global_step": 0}
+    from focus_tpu.utils.preemption import PreemptionGuard, PreemptionSignaled
 
+    preempt_guard = PreemptionGuard(cfg)
+
+    try:
+        state = _slot_train_epochs(
+            cfg, state, train_loader, val_loader, train_step, eval_step,
+            base_rng, writer, epoch_timer, best_val_loss, opd, start_epoch,
+            ckpt_dir, preempt_guard,
+        )
+    except PreemptionSignaled as p:
+        logger.info(
+            f"Preempted during epoch {p.epoch}: saving checkpoint and "
+            "exiting 0 for requeue (AUTO_RESUME replays the epoch)"
+        )
+        cu.save_checkpoint(ckpt_dir, p.state, p.epoch, cfg, async_write=False)
+        cu.wait_for_saves()
+        if writer is not None:
+            writer.close()
+        raise SystemExit(0)
+
+    cu.wait_for_saves()  # land any async checkpoint writes before exit
+    if writer is not None:
+        writer.close()
+    return state
+
+
+def _slot_train_epochs(cfg, state, train_loader, val_loader, train_step,
+                       eval_step, base_rng, writer, epoch_timer,
+                       best_val_loss, opd, start_epoch, ckpt_dir,
+                       preempt_guard):
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         data_loader.shuffle_dataset(train_loader, cur_epoch)
         epoch_timer.epoch_tic()
         if not cfg.TRAIN.VAL_ONLY:
             state, opd = slot_train_epoch(
-                train_loader, state, train_step, cur_epoch, cfg, base_rng, writer
+                train_loader, state, train_step, cur_epoch, cfg, base_rng,
+                writer, preempt_guard=preempt_guard,
             )
         epoch_timer.epoch_toc()
         logger.info(
@@ -266,10 +302,6 @@ def slot_train(cfg):
         # also keep epoch-indexed checkpoints for AUTO_RESUME
         if cu.is_checkpoint_epoch(cfg, cur_epoch):
             cu.save_checkpoint(ckpt_dir, state, cur_epoch + 1, cfg)
-
-    cu.wait_for_saves()  # land any async checkpoint writes before exit
-    if writer is not None:
-        writer.close()
     return state
 
 

@@ -91,15 +91,18 @@ def _device_mixup(rng, video, labels, cfg):
     return video, soft
 
 
-def _detection_loss(preds, labels, mask):
+def _detection_loss(preds, labels, mask, denom=None):
     """Masked BCE over per-box class probabilities (the RoI head applies
     sigmoid; reference uses 'bce' for AVA). preds: [B,O,C],
-    labels: [B,O,C], mask: [B,O]."""
+    labels: [B,O,C], mask: [B,O]. ``denom`` overrides the normaliser —
+    gradient accumulation passes global_box_count/accum so the mean of
+    microbatch losses equals the whole-batch masked mean exactly."""
     eps = 1e-7
     p = jnp.clip(preds, eps, 1 - eps)
     labels = labels.astype(p.dtype)
     bce = -(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p)).mean(-1)
-    denom = jnp.maximum(mask.sum(), 1.0)
+    if denom is None:
+        denom = jnp.maximum(mask.sum(), 1.0)
     return (bce * mask).sum() / denom
 
 
@@ -131,6 +134,45 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
         den = sum(jnp.sum(leaf[..., 1]) for leaf in leaves)
         return num / jnp.maximum(den, 1e-9)
 
+    def forward(params, batch_stats, video, labels, metadata, rng,
+                det_denom=None):
+        """The one forward+loss closure both step variants differentiate
+        (single-shot and GRAD_ACCUM microbatch)."""
+        variables = {"params": params}
+        has_bn = batch_stats is not None
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+        cols = (["batch_stats"] if has_bn else []) + (
+            ["moe"] if moe_on else []
+        )
+        args = (video, metadata, metadata["boxes"]) if detection else (
+            video, metadata)
+        out = model.apply(
+            variables, *args, train=True, rngs={"dropout": rng},
+            mutable=cols if cols else False,
+        )
+        preds, new_vars = out if cols else (out, {})
+        if detection:
+            loss = _detection_loss(
+                preds, labels, metadata["boxes_mask"], denom=det_denom
+            )
+        else:
+            loss = loss_fn(preds, labels)
+        if moe_on:
+            loss = loss + moe_aux_w * _moe_aux(new_vars)
+        return loss, (preds, new_vars)
+
+    def _step_stats(loss, preds, new_vars, hard_labels):
+        stats = {"loss": loss}
+        if moe_on:
+            stats["moe_aux"] = _moe_aux(new_vars)
+        if hard_labels is not None:
+            logits = preds[0] if isinstance(preds, tuple) else preds
+            stats.update(_topk_errors_device(logits, hard_labels))
+        return stats
+
+    want_topk = not is_ek and not cfg.DATA.MULTI_LABEL and not detection
+
     def train_step(state, video, labels, metadata, base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
         hard_labels = labels
@@ -138,52 +180,16 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
             k_mix, rng = jax.random.split(rng)
             video, labels = _device_mixup(k_mix, video, labels, cfg)
 
-        def compute_loss(params):
-            variables = {"params": params}
-            has_bn = state.batch_stats is not None
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-            cols = (["batch_stats"] if has_bn else []) + (
-                ["moe"] if moe_on else []
-            )
-            if detection:
-                out = model.apply(
-                    variables, video, metadata, metadata["boxes"],
-                    train=True, rngs={"dropout": rng},
-                    mutable=cols if cols else False,
-                )
-                preds, new_vars = out if cols else (out, {})
-                loss = _detection_loss(
-                    preds, labels, metadata["boxes_mask"]
-                )
-                if moe_on:
-                    loss = loss + moe_aux_w * _moe_aux(new_vars)
-                return loss, (preds, new_vars)
-            out = model.apply(
-                variables, video, metadata, train=True,
-                rngs={"dropout": rng},
-                mutable=cols if cols else False,
-            )
-            preds, new_vars = out if cols else (out, {})
-            loss = loss_fn(preds, labels)
-            if moe_on:
-                loss = loss + moe_aux_w * _moe_aux(new_vars)
-            return loss, (preds, new_vars)
-
         (loss, (preds, new_vars)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+            forward, has_aux=True
+        )(state.params, state.batch_stats, video, labels, metadata, rng)
         new_state = state.apply_gradients(grads)
         if state.batch_stats is not None:
             new_state = new_state.replace(batch_stats=new_vars["batch_stats"])
-        stats = {"loss": loss}
-        if moe_on:
-            stats["moe_aux"] = _moe_aux(new_vars)
-        if not is_ek and not cfg.DATA.MULTI_LABEL and not cfg.DETECTION.ENABLE:
-            logits = preds[0] if isinstance(preds, tuple) else preds
-            if getattr(hard_labels, "ndim", 1) == 1:
-                stats.update(_topk_errors_device(logits, hard_labels))
-        return new_state, stats
+        topk_labels = hard_labels if (
+            want_topk and getattr(hard_labels, "ndim", 1) == 1
+        ) else None
+        return new_state, _step_stats(loss, preds, new_vars, topk_labels)
 
     accum = max(int(getattr(cfg.TPU, "GRAD_ACCUM", 1) or 1), 1)
 
@@ -204,38 +210,27 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
         )
 
     def train_step_accum(state, video, labels, metadata, base_rng):
-        """TPU.GRAD_ACCUM > 1: scan the forward/backward over microbatches
-        carrying a gradient sum (and BN stats sequentially), then apply
-        one optimizer update of the mean gradient. Activation memory
-        scales 1/accum; loss/top-k are means over microbatches."""
+        """TPU.GRAD_ACCUM > 1: scan `forward` over microbatches carrying a
+        gradient sum, then apply one optimizer update of the mean
+        gradient. Activation memory scales 1/accum. The mean-of-means is
+        the single-shot loss/gradient exactly for the mean-reduced
+        classification losses and (via det_denom) the masked detection
+        loss; BN stats update once per microbatch (standard accumulation
+        semantics) and the MoE aux ratio is per-microbatch."""
         rng = jax.random.fold_in(base_rng, state.step)
         hard_labels = labels
         if use_mixup:
             k_mix, rng = jax.random.split(rng)
             video, labels = _device_mixup(k_mix, video, labels, cfg)
 
-        def forward(params, batch_stats, video, labels, metadata, rng):
-            variables = {"params": params}
-            has_bn = batch_stats is not None
-            if has_bn:
-                variables["batch_stats"] = batch_stats
-            cols = (["batch_stats"] if has_bn else []) + (
-                ["moe"] if moe_on else []
-            )
-            args = (video, metadata, metadata["boxes"]) if detection else (
-                video, metadata)
-            out = model.apply(
-                variables, *args, train=True, rngs={"dropout": rng},
-                mutable=cols if cols else False,
-            )
-            preds, new_vars = out if cols else (out, {})
-            if detection:
-                loss = _detection_loss(preds, labels, metadata["boxes_mask"])
-            else:
-                loss = loss_fn(preds, labels)
-            if moe_on:
-                loss = loss + moe_aux_w * _moe_aux(new_vars)
-            return loss, (preds, new_vars)
+        # whole-batch box count, known before the scan: each microbatch
+        # normalises by global/accum so the loss mean is the global
+        # masked mean (see _detection_loss)
+        det_denom = None
+        if detection:
+            det_denom = jnp.maximum(
+                metadata["boxes_mask"].sum(), 1.0
+            ) / accum
 
         xs = {
             "video": jax.tree_util.tree_map(_microbatch, video),
@@ -243,9 +238,7 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
             "metadata": jax.tree_util.tree_map(_microbatch, metadata),
             "rng": jax.random.split(rng, accum),
         }
-        if not is_ek and not cfg.DATA.MULTI_LABEL and not detection and (
-            getattr(hard_labels, "ndim", 1) == 1
-        ):
+        if want_topk and getattr(hard_labels, "ndim", 1) == 1:
             xs["hard_labels"] = _microbatch(hard_labels)
 
         grad0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
@@ -255,16 +248,12 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
             (loss, (preds, new_vars)), g = jax.value_and_grad(
                 forward, has_aux=True
             )(state.params, batch_stats, x["video"], x["labels"],
-              x["metadata"], x["rng"])
+              x["metadata"], x["rng"], det_denom)
             grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, g)
             if batch_stats is not None:
                 batch_stats = new_vars["batch_stats"]
-            stats = {"loss": loss}
-            if moe_on:
-                stats["moe_aux"] = _moe_aux(new_vars)
-            if "hard_labels" in x:
-                logits = preds[0] if isinstance(preds, tuple) else preds
-                stats.update(_topk_errors_device(logits, x["hard_labels"]))
+            stats = _step_stats(loss, preds, new_vars,
+                                x.get("hard_labels"))
             return (grads_sum, batch_stats), stats
 
         (grads_sum, batch_stats), stats = jax.lax.scan(
@@ -384,7 +373,7 @@ def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
 
 
 def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
-                base_rng, writer=None, profiler=None):
+                base_rng, writer=None, profiler=None, preempt_guard=None):
     data_size = len(train_loader)
     train_meter.iter_tic()
     for cur_iter, batch in enumerate(train_loader):
@@ -422,6 +411,10 @@ def train_epoch(train_loader, state, train_step, train_meter, cur_epoch, cfg,
                 )
         train_meter.iter_toc()
         train_meter.log_iter_stats(cur_epoch, cur_iter)
+        if preempt_guard is not None and preempt_guard.poll(cur_iter):
+            from focus_tpu.utils.preemption import PreemptionSignaled
+
+            raise PreemptionSignaled(cur_epoch, state)
         train_meter.iter_tic()
     train_meter.log_epoch_stats(cur_epoch)
     train_meter.reset()
@@ -564,10 +557,8 @@ def train(cfg):
 
     loss_fn = losses_lib.get_loss_func(cfg)
     state_sharding = mesh_lib.state_shardings(mesh, state, zero1=zero1)
-    if not mesh_lib.has_param_sharding(mesh) and not (
-        zero1 and mesh.shape[mesh_lib.DATA_AXIS] > 1
-    ):
-        state_sharding = None  # pure DP: keep the unpinned signature
+    if not mesh_lib.has_param_sharding(mesh, zero1=zero1):
+        state_sharding = None  # replicated state: unpinned signature
     train_step = make_supervised_train_step(
         model, cfg, mesh, loss_fn, state_sharding=state_sharding
     )
@@ -595,20 +586,54 @@ def train(cfg):
 
     profiler = StepProfiler(cfg)
     epoch_timer = EpochTimer()
+    from focus_tpu.utils.preemption import PreemptionGuard, PreemptionSignaled
 
+    preempt_guard = PreemptionGuard(cfg)
+
+    try:
+        state = _train_epochs(
+            cfg, mesh, model, state, train_loader, val_loader, train_step,
+            eval_step, train_meter, val_meter, writer, profiler, epoch_timer,
+            base_rng, start_epoch, ckpt_dir, zero1, loss_fn, multigrid,
+            preempt_guard,
+        )
+    except PreemptionSignaled as p:
+        # every process raises at the same sync point (PreemptionGuard
+        # agreement), so all join save_checkpoint's collective gather
+        logger.info(
+            f"Preempted during epoch {p.epoch}: saving checkpoint and "
+            "exiting 0 for requeue (AUTO_RESUME replays the epoch)"
+        )
+        cu.save_checkpoint(ckpt_dir, p.state, p.epoch, cfg, async_write=False)
+        cu.wait_for_saves()
+        profiler.stop()
+        if writer is not None:
+            writer.close()
+        raise SystemExit(0)
+
+    profiler.stop()
+    cu.wait_for_saves()  # land any async checkpoint writes before exit
+    if writer is not None:
+        writer.close()
+    return state
+
+
+def _train_epochs(cfg, mesh, model, state, train_loader, val_loader,
+                  train_step, eval_step, train_meter, val_meter, writer,
+                  profiler, epoch_timer, base_rng, start_epoch, ckpt_dir,
+                  zero1, loss_fn, multigrid, preempt_guard):
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
             cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
             if changed:
+                train_loader.close()  # release any worker pool
                 model, train_loader, state = _rebuild_for_long_cycle(
                     cfg, mesh, state, cur_epoch
                 )
                 state_sharding = mesh_lib.state_shardings(
                     mesh, state, zero1=zero1
                 )
-                if not mesh_lib.has_param_sharding(mesh) and not (
-                    zero1 and mesh.shape[mesh_lib.DATA_AXIS] > 1
-                ):
+                if not mesh_lib.has_param_sharding(mesh, zero1=zero1):
                     state_sharding = None
                 train_step = make_supervised_train_step(
                     model, cfg, mesh, loss_fn, state_sharding=state_sharding
@@ -620,6 +645,7 @@ def train(cfg):
         state = train_epoch(
             train_loader, state, train_step, train_meter, cur_epoch, cfg,
             base_rng, writer=writer, profiler=profiler,
+            preempt_guard=preempt_guard,
         )
         epoch_timer.epoch_toc()
         logger.info(
@@ -644,9 +670,4 @@ def train(cfg):
         if is_eval:
             eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch,
                        cfg, writer=writer)
-
-    profiler.stop()
-    cu.wait_for_saves()  # land any async checkpoint writes before exit
-    if writer is not None:
-        writer.close()
     return state

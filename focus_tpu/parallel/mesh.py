@@ -122,16 +122,18 @@ def has_expert_axis(mesh: Mesh) -> bool:
     return dict(mesh.shape).get(EXPERT_AXIS, 1) > 1
 
 
-def has_param_sharding(mesh: Mesh) -> bool:
+def has_param_sharding(mesh: Mesh, zero1: bool = False) -> bool:
     """True when state_shardings produces non-replicated placements —
-    any of the model/pipe/expert axes is active. Callers that pin the
-    TrainState sharding through jit must do so exactly when this holds
-    (a pure-DP mesh keeps the unpinned signature)."""
+    any of the model/pipe/expert axes is active, or ZeRO-1 moments over
+    a >1 data axis. Callers that pin the TrainState sharding through jit
+    must do so exactly when this holds (a plain replicated-state mesh
+    keeps the unpinned signature)."""
     shape = dict(mesh.shape)
     return (
         shape.get(MODEL_AXIS, 1) > 1
         or shape.get(PIPE_AXIS, 1) > 1
         or shape.get(EXPERT_AXIS, 1) > 1
+        or (zero1 and shape.get(DATA_AXIS, 1) > 1)
     )
 
 

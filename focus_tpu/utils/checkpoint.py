@@ -96,15 +96,23 @@ def save_checkpoint(
     # leaves sharded across hosts (tensor/pipeline/expert axes spanning
     # processes, or TPU.ZERO1 moments over a multi-host data axis) are
     # not addressable from process 0 alone — gather them collectively
-    # BEFORE the proc-0 gate (every process must join the collective)
-    def _fetch_leaf(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            from jax.experimental import multihost_utils
+    # BEFORE the proc-0 gate (every process must join the collective).
+    # One batched process_allgather over all such leaves: checkpoint
+    # latency scales with bytes, not with the leaf count.
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    remote_ix = [
+        i for i, x in enumerate(leaves)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable
+    ]
+    if remote_ix:
+        from jax.experimental import multihost_utils
 
-            return multihost_utils.process_allgather(x)
-        return x
-
-    state = jax.tree_util.tree_map(_fetch_leaf, state)
+        gathered = multihost_utils.process_allgather(
+            [leaves[i] for i in remote_ix]
+        )
+        for i, g in zip(remote_ix, gathered):
+            leaves[i] = g
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
     if jax.process_index() != 0:
         return None
     if async_write is None:

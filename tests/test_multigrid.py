@@ -143,7 +143,7 @@ def test_long_cycle_epoch_loop_wiring(tmp_path, monkeypatch):
     real_train_epoch = trainer_mod.train_epoch
 
     def spy_train_epoch(train_loader, state, train_step, train_meter,
-                       cur_epoch, cfg_, base_rng, writer=None, profiler=None):
+                       cur_epoch, cfg_, base_rng, **kw):
         batch = next(iter(train_loader))
         video = batch[0][0] if isinstance(batch[0], (tuple, list)) else batch[0]
         seen.append(
@@ -151,7 +151,7 @@ def test_long_cycle_epoch_loop_wiring(tmp_path, monkeypatch):
         )
         return real_train_epoch(
             train_loader, state, train_step, train_meter, cur_epoch, cfg_,
-            base_rng, writer=writer, profiler=profiler,
+            base_rng, **kw,
         )
 
     monkeypatch.setattr(trainer_mod, "train_epoch", spy_train_epoch)

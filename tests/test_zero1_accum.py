@@ -118,6 +118,32 @@ def test_grad_accum_matches_single_shot():
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)
 
 
+def test_detection_loss_accum_denom_is_exact():
+    """Mean of per-microbatch detection losses with denom=global/k equals
+    the whole-batch masked mean, for uneven box counts per microbatch
+    (the GRAD_ACCUM det_denom path in engine/trainer.py)."""
+    import jax.numpy as jnp
+
+    from focus_tpu.engine.trainer import _detection_loss
+
+    rs = np.random.RandomState(1)
+    B, O, C, k = 8, 5, 3, 2
+    preds = jnp.asarray(rs.rand(B, O, C).astype(np.float32))
+    labels = jnp.asarray((rs.rand(B, O, C) > 0.5).astype(np.float32))
+    mask = jnp.asarray(
+        (rs.rand(B, O) > 0.6).astype(np.float32)  # uneven counts
+    )
+    full = _detection_loss(preds, labels, mask)
+    denom = max(float(mask.sum()), 1.0) / k
+    micro = [
+        _detection_loss(preds[a::k], labels[a::k], mask[a::k], denom=denom)
+        for a in range(k)
+    ]
+    np.testing.assert_allclose(
+        float(np.mean([float(m) for m in micro])), float(full), rtol=1e-6
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_grad_accum_composes_with_zero1():
     state, stats = _run_step(zero1=True, accum=4)
