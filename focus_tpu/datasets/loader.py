@@ -31,6 +31,32 @@ from focus_tpu.utils import logging
 logger = logging.get_logger(__name__)
 
 
+_PROC_DATASET = None
+
+
+def _proc_init(dataset):
+    """Process-pool worker bootstrap (spawn context): the dataset is
+    pickled into each worker ONCE at pool start, then reused for every
+    sample. Spawned workers are fresh interpreters — no inherited jax
+    threads, locks, or signal handlers (a fork-based pool deadlocks
+    here: the parent holds 20+ XLA/runtime threads whose locks a forked
+    child can inherit mid-held, and the preemption SIGTERM flag-handler
+    would neutralise Pool.terminate)."""
+    global _PROC_DATASET
+    _PROC_DATASET = dataset
+
+
+def _proc_get(job):
+    """Fetch one sample in a worker process. ``job`` is (item, seed):
+    the global numpy RNG is reseeded per item so augmentation draws are
+    deterministic in (RNG_SEED, epoch, index) — the thread backend's
+    draws depend on pool interleaving, and worker-persistent RNG state
+    would depend on job scheduling the same way."""
+    item, seed = job
+    np.random.seed(seed)
+    return _PROC_DATASET[item]
+
+
 def _stack_tree(samples):
     """Stack a list of sample pytrees into one batched pytree."""
     first = samples[0]
@@ -86,7 +112,10 @@ class DataLoader:
         pad_last: bool = False,
         short_cycle_factors=None,
         flatten_samples: int = 1,
+        worker_backend: str = "thread",
     ):
+        assert worker_backend in ("thread", "process"), worker_backend
+        self.worker_backend = worker_backend
         self.dataset = dataset
         self.global_batch_size = global_batch_size
         self.shuffle = shuffle
@@ -101,6 +130,7 @@ class DataLoader:
         # leading axis and are flattened into the batch (the reference's
         # multiple_samples_collate, loader.py:20-42)
         self.flatten_samples = flatten_samples
+        self._proc_pool = None
         self.epoch = 0
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
@@ -177,29 +207,83 @@ class DataLoader:
                 yield [(int(i), phase) for i in local]
             phase = (phase + 1) % 3
 
+    def _get_process_pool(self):
+        """Spawn-context ProcessPoolExecutor, created lazily and cached
+        for the loader's lifetime (workers persist across epochs — the
+        per-worker interpreter boot + dataset unpickle is paid once).
+        The dataset must be picklable (same constraint as any spawn
+        loader); a crashed worker surfaces as BrokenProcessPool on the
+        next batch instead of hanging the pool."""
+        if self._proc_pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._proc_pool = ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_proc_init,
+                initargs=(self.dataset,),
+            )
+        return self._proc_pool
+
+    def close(self) -> None:
+        """Shut down the worker pool (idempotent; also ran by __del__)."""
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+    def _seed_for(self, item) -> int:
+        i = item[0] if isinstance(item, tuple) else item
+        return (
+            self.seed * 1_000_003 + self.epoch * 10_007 + int(i)
+        ) & 0x7FFFFFFF
+
     def __iter__(self) -> Iterator[Any]:
         batches = self._local_batches()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        proc_pool = (
+            self._get_process_pool()
+            if self.worker_backend == "process"
+            else None
+        )
+
+        def run(fetch):
+            for idx, pad_mask in batches:
+                if stop.is_set():
+                    break
+                samples = fetch(idx)
+                batch = _stack_tree(samples)
+                batch = _mark_padded(batch, pad_mask)
+                if self.flatten_samples > 1:
+                    batch = jax.tree_util.tree_map(
+                        lambda a: a.reshape(-1, *a.shape[2:]), batch
+                    )
+                if self.sharding is not None:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: _put_global(x, self.sharding), batch
+                    )
+                out_q.put(batch)
 
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idx, pad_mask in batches:
-                        if stop.is_set():
-                            break
-                        samples = list(pool.map(self.dataset.__getitem__, idx))
-                        batch = _stack_tree(samples)
-                        batch = _mark_padded(batch, pad_mask)
-                        if self.flatten_samples > 1:
-                            batch = jax.tree_util.tree_map(
-                                lambda a: a.reshape(-1, *a.shape[2:]), batch
-                            )
-                        if self.sharding is not None:
-                            batch = jax.tree_util.tree_map(
-                                lambda x: _put_global(x, self.sharding), batch
-                            )
-                        out_q.put(batch)
+                if proc_pool is not None:
+                    run(lambda idx: list(proc_pool.map(
+                        _proc_get,
+                        [(i if isinstance(i, tuple) else int(i),
+                          self._seed_for(i)) for i in idx],
+                    )))
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        run(lambda idx: list(
+                            pool.map(self.dataset.__getitem__, idx)
+                        ))
             except Exception as e:  # noqa: BLE001
                 out_q.put(e)
             finally:
@@ -216,7 +300,7 @@ class DataLoader:
                     raise item
                 yield item
         finally:
-            stop.set()
+            stop.set()  # pool persists across epochs; close() tears down
 
 
 def _put_global(local_array: np.ndarray, sharding: jax.sharding.Sharding):
@@ -270,6 +354,9 @@ def construct_loader(cfg, split: str, sharding=None, is_precise_bn: bool = False
         pad_last=not drop_last,
         short_cycle_factors=short_cycle,
         flatten_samples=flatten,
+        worker_backend=getattr(
+            cfg.DATA_LOADER, "WORKER_BACKEND", "thread"
+        ) or "thread",
     )
 
 
