@@ -46,19 +46,8 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         out_dim = self.out_features or x.shape[-1]
         quant = self.int8_dense and deterministic
-
-        def dense_q(feat, name, inp):
-            """int8 MXU dense under TPU.INT8_SERVING at eval (param tree
-            identical to nn.Dense, so checkpoints interchange)."""
-            if not quant:
-                return nn.Dense(feat, kernel_init=trunc_normal_02,
-                                dtype=self.dtype, name=name)(inp)
-            from focus_tpu.ops.quant import quantized_dense
-
-            w, b = _DenseParams(inp.shape[-1], feat, True, name=name)()
-            return quantized_dense(inp, w, b)
-
-        x = dense_q(self.hidden_features, "fc1", x)
+        x = int8_or_dense(self.hidden_features, "fc1", True, x, quant,
+                          self.dtype)
         if self.fast_gelu:
             x = nn.gelu(x, approximate=True)
         else:
@@ -69,7 +58,7 @@ class Mlp(nn.Module):
             )
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(self.drop, deterministic=False)(x)
-        x = dense_q(out_dim, "fc2", x)
+        x = int8_or_dense(out_dim, "fc2", True, x, quant, self.dtype)
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(self.drop, deterministic=False)(x)
         return x
@@ -153,6 +142,22 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+def int8_or_dense(feat, name, use_bias, inp, quant, dtype):
+    """One dense layer, int8-quantized under TPU.INT8_SERVING at eval
+    (``quant``) or plain nn.Dense otherwise. Must be called from inside a
+    compact ``__call__`` (submodules attach to the caller's scope). The
+    param tree is identical either way (kernel/bias under ``name``), so
+    f32/bf16 checkpoints serve as int8 directly."""
+    if not quant:
+        return nn.Dense(feat, use_bias=use_bias,
+                        kernel_init=trunc_normal_02, dtype=dtype,
+                        name=name)(inp)
+    from focus_tpu.ops.quant import quantized_dense
+
+    w, b = _DenseParams(inp.shape[-1], feat, use_bias, name=name)()
+    return quantized_dense(inp, w, b)
+
+
 class TrajectoryAttention(nn.Module):
     """(reference attention.py:479-557)"""
 
@@ -179,18 +184,8 @@ class TrajectoryAttention(nn.Module):
             dtype=self.dtype, name=name,
         )
         quant = self.int8_dense and deterministic
-
-        def dense_q(feat, name, bias, inp):
-            """int8 MXU dense under TPU.INT8_SERVING at eval (param tree
-            identical to nn.Dense, so checkpoints interchange)."""
-            if not quant:
-                return dense(feat, name, bias)(inp)
-            from focus_tpu.ops.quant import quantized_dense
-
-            w, b = _DenseParams(inp.shape[-1], feat, bias, name=name)()
-            return quantized_dense(inp, w, b)
-
-        qkv = dense_q(3 * C, "qkv", self.qkv_bias, x)
+        qkv = int8_or_dense(3 * C, "qkv", self.qkv_bias, x, quant,
+                            self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # 'b n (h d) -> (b h) n d'
         split_heads = lambda t: t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3).reshape(
@@ -285,7 +280,7 @@ class TrajectoryAttention(nn.Module):
 
         if with_cls_token:
             out = jnp.concatenate([cls_out, out], axis=1)
-        out = dense_q(C, "proj", True, out)
+        out = int8_or_dense(C, "proj", True, out, quant, self.dtype)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(self.proj_drop, deterministic=False)(out)
         return out, thw
@@ -684,23 +679,13 @@ class SelfAttention(nn.Module):
         h = self.num_heads
         hd = C // h
         quant = self.int8_dense and deterministic
-
-        def dense_q(feat, name, bias, inp):
-            if not quant:
-                return nn.Dense(feat, use_bias=bias,
-                                kernel_init=trunc_normal_02,
-                                dtype=self.dtype, name=name)(inp)
-            from focus_tpu.ops.quant import quantized_dense
-
-            w, b = _DenseParams(inp.shape[-1], feat, bias, name=name)()
-            return quantized_dense(inp, w, b)
-
-        qkv = dense_q(3 * C, "qkv", self.qkv_bias, x)
+        qkv = int8_or_dense(3 * C, "qkv", self.qkv_bias, x, quant,
+                            self.dtype)
         qkv = qkv.reshape(B, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         out = attn_ops.joint_attention(q, k, v, hd ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = dense_q(C, "proj", True, out)
+        out = int8_or_dense(C, "proj", True, out, quant, self.dtype)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(self.proj_drop, deterministic=False)(out)
         return out, thw

@@ -18,7 +18,12 @@ import numpy as np
 from flax import linen as nn
 
 from focus_tpu.models.build import MODEL_REGISTRY
-from focus_tpu.models.motionformer import DropPath, Mlp, trunc_normal_02
+from focus_tpu.models.motionformer import (
+    DropPath,
+    Mlp,
+    int8_or_dense,
+    trunc_normal_02,
+)
 from focus_tpu.ops.attention import joint_attention
 
 
@@ -105,6 +110,7 @@ class MultiScaleAttention(nn.Module):
     has_cls_embed: bool = True
     mode: str = "conv"
     pool_first: bool = False
+    int8_dense: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -113,9 +119,9 @@ class MultiScaleAttention(nn.Module):
         h = self.num_heads
         hd = C // h
         scale = hd ** -0.5
-        dense = lambda name: nn.Dense(
-            C, use_bias=self.qkv_bias, kernel_init=trunc_normal_02,
-            dtype=self.dtype, name=name,
+        quant = self.int8_dense and deterministic
+        dense = lambda name: lambda inp: int8_or_dense(
+            C, name, self.qkv_bias, inp, quant, self.dtype
         )
         to_heads = lambda t: t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)
         from_heads = lambda t: t.transpose(0, 2, 1, 3).reshape(B, -1, C)
@@ -150,8 +156,7 @@ class MultiScaleAttention(nn.Module):
 
         out = joint_attention(q, k, v, scale)
         out = from_heads(out)
-        out = nn.Dense(C, kernel_init=trunc_normal_02, dtype=self.dtype,
-                       name="proj")(out)
+        out = int8_or_dense(C, "proj", True, out, quant, self.dtype)
         if self.drop_rate > 0.0 and not deterministic:
             out = nn.Dropout(self.drop_rate, deterministic=False)(out)
         return out, q_thw
@@ -175,6 +180,7 @@ class MultiScaleBlock(nn.Module):
     has_cls_embed: bool = True
     fast_gelu: bool = False
     pool_first: bool = False
+    int8_dense: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -184,7 +190,7 @@ class MultiScaleBlock(nn.Module):
             tuple(self.kernel_q), tuple(self.kernel_kv),
             tuple(self.stride_q), tuple(self.stride_kv),
             self.has_cls_embed, self.mode, self.pool_first,
-            dtype=self.dtype, name="attn",
+            int8_dense=self.int8_dense, dtype=self.dtype, name="attn",
         )(
             nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x),
             thw, deterministic=deterministic,
@@ -216,7 +222,7 @@ class MultiScaleBlock(nn.Module):
         x_mlp = Mlp(
             int(self.dim * self.mlp_ratio), out_features=self.dim_out,
             drop=self.drop_rate, fast_gelu=self.fast_gelu,
-            dtype=self.dtype, name="mlp",
+            int8_dense=self.int8_dense, dtype=self.dtype, name="mlp",
         )(x_norm, deterministic=deterministic)
         if self.dim != self.dim_out:
             x = nn.Dense(self.dim_out, kernel_init=trunc_normal_02,
@@ -400,6 +406,7 @@ class MViT(nn.Module):
                     mode=c.MVIT.MODE, has_cls_embed=cls_on,
                     pool_first=c.MVIT.POOL_FIRST,
                     fast_gelu=bool(getattr(c.TPU, "FAST_GELU", False)),
+                    int8_dense=bool(getattr(c.TPU, "INT8_SERVING", False)),
                     dtype=self.dtype,
                     name=f"blocks_{i}",
                 )(x_prev, metadata, thw_prev, deterministic=not train)

@@ -161,15 +161,24 @@ class TensorboardWriter:
         num_classes = self.cfg.MODEL.NUM_CLASSES
         cmtx = get_confusion_matrix(preds, labels, num_classes)
         names = self.class_names or [str(i) for i in range(num_classes)]
+        # class-metadata files may cover a different label space than the
+        # current head (e.g. a full-taxonomy names json with a fine-tuned
+        # NUM_CLASSES); ids beyond the confusion matrix are dropped, and
+        # missing trailing names fall back to the numeric id
+        if len(names) < num_classes:
+            names = names + [str(i) for i in range(len(names), num_classes)]
+        in_range = lambda ids: [j for j in ids if 0 <= j < num_classes]
         if tb.CONFUSION_MATRIX.ENABLE:
             fig = plot_confusion_matrix(
-                cmtx, names, figsize=tb.CONFUSION_MATRIX.FIGSIZE
+                cmtx, names[:num_classes],
+                figsize=tb.CONFUSION_MATRIX.FIGSIZE,
             )
             self.writer.add_figure("Confusion Matrix", fig, global_step)
-            if self.cm_subset:
-                sub = cmtx[self.cm_subset][:, self.cm_subset]
+            cm_subset = in_range(self.cm_subset or [])
+            if cm_subset:
+                sub = cmtx[cm_subset][:, cm_subset]
                 fig = plot_confusion_matrix(
-                    sub, [names[j] for j in self.cm_subset],
+                    sub, [names[j] for j in cm_subset],
                     figsize=tb.CONFUSION_MATRIX.FIGSIZE,
                 )
                 self.writer.add_figure(
@@ -178,6 +187,7 @@ class TensorboardWriter:
             # per-parent-category confusion matrices (reference
             # tensorboard_vis.py:139-160)
             for parent, children in (self.parent_map or {}).items():
+                children = in_range(children)
                 if not children:
                     continue
                 sub = cmtx[children][:, children]
@@ -191,11 +201,12 @@ class TensorboardWriter:
                     fig, global_step,
                 )
         if tb.HISTOGRAM.ENABLE:
-            ids = self.hist_subset or range(num_classes)
+            ids = in_range(self.hist_subset) if self.hist_subset else range(
+                num_classes)
             for i in ids:
                 fig = plot_topk_histogram(
-                    names[i], cmtx[i], tb.HISTOGRAM.TOPK, names,
-                    figsize=tb.HISTOGRAM.FIGSIZE,
+                    names[i], cmtx[i], tb.HISTOGRAM.TOPK,
+                    names[:num_classes], figsize=tb.HISTOGRAM.FIGSIZE,
                 )
                 self.writer.add_figure(
                     f"Top {tb.HISTOGRAM.TOPK} predictions by classes/"

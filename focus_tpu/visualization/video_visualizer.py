@@ -30,10 +30,15 @@ def get_class_names(path, parent_path=None, subset_path=None):
     class_names, mapping, parents, subset = None, None, None, None
     if path:
         with open(path) as f:
-            mapping = json.load(f)
-        class_names = [None] * (max(mapping.values()) + 1)
-        for name, idx in mapping.items():
-            class_names[idx] = name
+            loaded = json.load(f)
+        if isinstance(loaded, list):  # plain ordered name list
+            mapping = {name: i for i, name in enumerate(loaded)}
+            class_names = list(loaded)
+        else:
+            mapping = loaded
+            class_names = [None] * (max(mapping.values(), default=-1) + 1)
+            for name, idx in mapping.items():
+                class_names[idx] = name
     if parent_path:
         with open(parent_path) as f:
             d_parent = json.load(f)

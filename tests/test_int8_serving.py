@@ -83,6 +83,45 @@ def test_int8_model_reuses_f32_params_and_tracks_logits():
     )
 
 
+def test_int8_mvit_runs_and_reuses_params():
+    """The flag covers MViT's MultiScaleAttention/Mlp denses too."""
+    from focus_tpu.config import get_cfg
+    from focus_tpu.models.build import build_model
+
+    def tiny_mvit(int8):
+        cfg = get_cfg()
+        cfg.MODEL.NUM_CLASSES = 11
+        cfg.DATA.NUM_FRAMES = 4
+        cfg.DATA.TRAIN_CROP_SIZE = 64
+        cfg.DATA.TEST_CROP_SIZE = 64
+        cfg.MODEL.MODEL_NAME = "MViT"
+        cfg.MODEL.ARCH = "mvit"
+        cfg.MVIT.EMBED_DIM = 24
+        cfg.MVIT.NUM_HEADS = 2
+        cfg.MVIT.DEPTH = 4
+        cfg.MVIT.DIM_MUL = [[1, 2.0]]
+        cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+        cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2]]
+        cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+        cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 4, 4]
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.INT8_SERVING = int8
+        return build_model(cfg)
+
+    rs = np.random.RandomState(0)
+    video = jnp.asarray(rs.rand(2, 4, 64, 64, 3).astype(np.float32))
+    m_f32, m_q = tiny_mvit(False), tiny_mvit(True)
+    rng = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = m_f32.init(rng, video)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(m_q.init(rng, video))
+    )
+    out_f = np.asarray(m_f32.apply(variables, video, train=False))
+    out_q = np.asarray(m_q.apply(variables, video, train=False))
+    assert np.isfinite(out_q).all()
+    assert np.abs(out_q - out_f).max() < 0.05
+
+
 def test_int8_train_path_stays_full_precision():
     _, model_q, video, metadata = _tiny_model_and_inputs(True)
     _, model_f32, _, _ = _tiny_model_and_inputs(False)

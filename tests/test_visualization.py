@@ -70,12 +70,16 @@ def test_writer_parent_category_panels(tmp_path):
     from focus_tpu.config import get_cfg
     from focus_tpu.visualization.tensorboard_vis import TensorboardWriter
 
-    names = {f"c{i}": i for i in range(4)}
+    # names file covers a LARGER label space than the 4-class head —
+    # out-of-range ids must be dropped from panels, not crash eval
+    names = {f"c{i}": i for i in range(6)}
     (tmp_path / "names.json").write_text(json.dumps(names))
     (tmp_path / "cats.json").write_text(
-        json.dumps({"even": ["c0", "c2"], "odd": ["c1", "c3", "missing"]})
+        json.dumps({"even": ["c0", "c2", "c4"],
+                    "odd": ["c1", "c3", "c5", "missing"],
+                    "high": ["c4", "c5"]})
     )
-    (tmp_path / "subset.txt").write_text("c1\nc2\nnot_a_class\n")
+    (tmp_path / "subset.txt").write_text("c1\nc2\nc5\nnot_a_class\n")
 
     cfg = get_cfg()
     cfg.OUTPUT_DIR = str(tmp_path)
@@ -86,9 +90,11 @@ def test_writer_parent_category_panels(tmp_path):
     cfg.TENSORBOARD.CONFUSION_MATRIX.SUBSET_PATH = str(tmp_path / "subset.txt")
     cfg.MODEL.NUM_CLASSES = 4
     writer = TensorboardWriter(cfg)
-    assert writer.class_names == ["c0", "c1", "c2", "c3"]
-    assert writer.parent_map == {"even": [0, 2], "odd": [1, 3]}
-    assert writer.cm_subset == [1, 2]
+    assert writer.class_names == [f"c{i}" for i in range(6)]
+    assert writer.parent_map == {
+        "even": [0, 2, 4], "odd": [1, 3, 5], "high": [4, 5]
+    }
+    assert writer.cm_subset == [1, 2, 5]
     rs = np.random.RandomState(0)
     writer.plot_eval(rs.rand(20, 4), rs.randint(0, 4, 20), global_step=1)
     writer.close()
