@@ -48,7 +48,12 @@ class SE(nn.Module):
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
-        dim_fc = max(1, int(round(C * self.ratio)))
+        # reference SE._round_width: min 8, divisible by 8, with a +8
+        # bump when rounding lost >10% (operators.py:46-66) — checkpoint
+        # shapes depend on this exactly
+        dim_fc = max(8, int(C * self.ratio + 4) // 8 * 8)
+        if dim_fc < 0.9 * C * self.ratio:
+            dim_fc += 8
         s = x.mean(axis=(1, 2, 3), keepdims=True)
         s = nn.Conv(dim_fc, (1, 1, 1), use_bias=True, dtype=self.dtype,
                     name="fc1")(s)

@@ -11,8 +11,9 @@ Import blockers (iopath/fvcore/torchvision — not installed here) are
 stubbed in sys.modules; the only stub that affects numerics is
 torchvision.ops.roi_align, replaced by a naive pure-torch implementation
 of its aligned=True / sampling_ratio=-1 semantics — so the full ORViT
-block fixture is an oracle modulo that one op (which is itself unit-tested
-against the documented semantics in tests/test_orvit_ops.py).
+block fixture and the SlowFast detection-head fixture are oracles modulo
+that one op (which is itself unit-tested against the documented
+semantics in tests/test_orvit_ops.py).
 
 Usage: python scripts/make_golden_fixtures.py
 """
@@ -578,6 +579,162 @@ def gen_steve_full():
     )
 
 
+def _randomize_with_buffers(mod, seed, scale=0.05):
+    """_randomize plus non-trivial BN running stats, so the conv-family
+    fixtures exercise the batch_stats import path (all-zero mean /
+    all-one var would make a stats-mapping bug invisible)."""
+    _randomize(mod, seed)
+    g = torch.Generator().manual_seed(seed + 1000)
+    with torch.no_grad():
+        for name, b in mod.named_buffers():
+            if not b.is_floating_point():
+                continue
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * scale)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=g) * 0.5 + 0.5)
+    return mod.eval()
+
+
+def _slowfast_cfg(detection=False):
+    """Skinny SlowFast-R50 (+one dot-product nonlocal on the slow path);
+    the detection variant is the AVA recipe shape — res5 stride-1 +
+    dilation-2, RoI head, sigmoid act."""
+    cfg = _repo_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 9
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.INPUT_CHANNEL_NUM = [3, 3]
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.NUM_GROUPS = 1
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3, 3], [4, 4], [6, 6], [3, 3]]
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+    cfg.SLOWFAST.FUSION_KERNEL_SZ = 5
+    cfg.NONLOCAL.LOCATION = [[[], []], [[], []], [[1], []], [[], []]]
+    cfg.NONLOCAL.GROUP = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.NONLOCAL.INSTANTIATION = "dot_product"
+    if detection:
+        cfg.DETECTION.ENABLE = True
+        cfg.DETECTION.ALIGNED = True
+        cfg.DETECTION.ROI_XFORM_RESOLUTION = 7
+        cfg.DETECTION.SPATIAL_SCALE_FACTOR = 16
+        cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [1, 1]]
+        cfg.RESNET.SPATIAL_DILATIONS = [[1, 1], [1, 1], [1, 1], [2, 2]]
+        cfg.MODEL.HEAD_ACT = "sigmoid"
+    return cfg
+
+
+def _x3d_cfg():
+    cfg = _repo_cfg()
+    cfg.MODEL.MODEL_NAME = "X3D"
+    cfg.MODEL.ARCH = "x3d"
+    cfg.MODEL.NUM_CLASSES = 9
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.NUM_GROUPS = 1
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.TRANS_FUNC = "x3d_transform"
+    cfg.RESNET.STRIDE_1X1 = False
+    cfg.RESNET.SPATIAL_DILATIONS = [[1], [1], [1], [1]]
+    cfg.NONLOCAL.LOCATION = [[[]], [[]], [[]], [[]]]
+    cfg.NONLOCAL.GROUP = [[1], [1], [1], [1]]
+    cfg.X3D.DIM_C1 = 12
+    cfg.X3D.WIDTH_FACTOR = 1.5
+    cfg.X3D.DEPTH_FACTOR = 1.0
+    cfg.X3D.BOTTLENECK_FACTOR = 2.25
+    cfg.X3D.CHANNELWISE_3x3x3 = True
+    cfg.X3D.SCALE_RES2 = False
+    cfg.X3D.DIM_C5 = 64
+    cfg.X3D.BN_LIN5 = False
+    return cfg
+
+
+def _slow_cfg():
+    """Single-pathway slow-R50, skinny, with one softmax nonlocal (the
+    other instantiation) in res3."""
+    cfg = _repo_cfg()
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.MODEL.NUM_CLASSES = 9
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.RESNET.DEPTH = 50
+    cfg.RESNET.NUM_GROUPS = 1
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3], [4], [6], [3]]
+    cfg.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1], [1], [1], [1]]
+    cfg.NONLOCAL.LOCATION = [[[]], [[1]], [[]], [[]]]
+    cfg.NONLOCAL.GROUP = [[1], [1], [1], [1]]
+    cfg.NONLOCAL.INSTANTIATION = "softmax"
+    return cfg
+
+
+def gen_conv_full():
+    """Full reference conv-family forwards (video_model_builder.py
+    SlowFast:159-420, ResNet:424-616, X3D:619-761) incl. BN running
+    stats, nonlocal blocks, SlowFast fusion, X3D SE/swish stages, and
+    the AVA RoI detection head (head_helper.py:11-129; ROIAlign is the
+    naive aligned=True oracle stubbed above)."""
+    from slowfast.models.video_model_builder import X3D, ResNet, SlowFast
+
+    rs = np.random.RandomState(21)
+    video = rs.rand(2, 3, 8, 64, 64).astype(np.float32)
+    alpha = 4
+    paths = lambda: [
+        torch.from_numpy(video[:, :, ::alpha].copy()),
+        torch.from_numpy(video),
+    ]
+
+    mod = _randomize_with_buffers(SlowFast(_slowfast_cfg()), 21)
+    with torch.no_grad():
+        out = mod(paths())
+    save("slowfast_full", video=video, out=out.numpy(), **_sd_to_np(mod))
+
+    # detection: O=3 well-formed xyxy pixel boxes per sample
+    lo = rs.rand(2, 3, 2).astype(np.float32) * 30.0
+    hi = lo + 8.0 + rs.rand(2, 3, 2).astype(np.float32) * 20.0
+    boxes = np.concatenate(
+        [lo[..., :1], lo[..., 1:], hi[..., :1], hi[..., 1:]], axis=-1
+    )
+    rois = torch.cat(
+        [
+            torch.cat(
+                [torch.full((3, 1), float(b)), torch.from_numpy(boxes[b])],
+                dim=1,
+            )
+            for b in range(2)
+        ],
+        dim=0,
+    )
+    mod = _randomize_with_buffers(SlowFast(_slowfast_cfg(detection=True)), 22)
+    with torch.no_grad():
+        out = mod(paths(), bboxes=rois)
+    save("slowfast_det_full", video=video, boxes=boxes, out=out.numpy(),
+         **_sd_to_np(mod))
+
+    video4 = rs.rand(2, 3, 4, 64, 64).astype(np.float32)
+    mod = _randomize_with_buffers(X3D(_x3d_cfg()), 23)
+    with torch.no_grad():
+        out = mod([torch.from_numpy(video4)])
+    save("x3d_full", video=video4, out=out.numpy(), **_sd_to_np(mod))
+
+    mod = _randomize_with_buffers(ResNet(_slow_cfg()), 24)
+    with torch.no_grad():
+        out = mod([torch.from_numpy(video4)])
+    save("slow_full", video=video4, out=out.numpy(), **_sd_to_np(mod))
+
+
 def main():
     _install_stubs()
     gen_trajectory_attention()
@@ -590,6 +747,7 @@ def main():
     gen_motionformer_full()
     gen_mvit_full()
     gen_steve_full()
+    gen_conv_full()
 
 
 if __name__ == "__main__":
