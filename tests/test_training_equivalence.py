@@ -159,3 +159,153 @@ def test_short_training_equivalence(orvit_layers):
         ours.append(float(stats["loss"]))
 
     np.testing.assert_allclose(ours, ref_losses, rtol=2e-4, atol=2e-4)
+
+
+def _slowfast_train_cfg():
+    from tests.test_conv_full_golden import slowfast_cfg
+
+    cfg = slowfast_cfg()
+    cfg.MODEL.LOSS_FUNC = "cross_entropy"
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.NUM_GPUS = 1
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.BASE_LR = 0.05
+    cfg.SOLVER.LR_POLICY = "cosine"
+    cfg.SOLVER.MAX_EPOCH = 2
+    cfg.SOLVER.MOMENTUM = 0.9
+    cfg.SOLVER.WEIGHT_DECAY = 1e-3
+    cfg.SOLVER.ZERO_WD_1D_PARAM = True  # BN scale/bias land here
+    cfg.SOLVER.WARMUP_EPOCHS = 0.5
+    cfg.SOLVER.WARMUP_START_LR = 0.005
+    cfg.SOLVER.COSINE_AFTER_WARMUP = False
+    return cfg
+
+
+def test_slowfast_bn_short_training_equivalence():
+    """Conv/BN-family trainability parity vs the executed reference:
+    identical init, identical data, 6 SGD steps of the skinny SlowFast
+    (fusion + nonlocal) — loss trajectories AND the BN running-stat EMAs
+    must agree. Pins train-mode BN semantics (batch-stat normalisation,
+    0.1-momentum EMA updates through the train step), SGD
+    momentum/weight-decay on convs, and the zero-wd-1d grouping that BN
+    parameters fall into (the reference is_bn quirk)."""
+    _load_reference()
+    cfg = _slowfast_train_cfg()
+    alpha = cfg.SLOWFAST.ALPHA
+
+    rs = np.random.RandomState(7)
+    vids, labels = [], []
+    for _ in range(STEPS):
+        vids.append(rs.rand(2, 8, 64, 64, 3).astype(np.float32))
+        labels.append(rs.randint(0, cfg.MODEL.NUM_CLASSES, size=(2,)))
+
+    # ---- reference trajectory
+    from slowfast.models import optimizer as ref_optim
+    from slowfast.models.video_model_builder import SlowFast
+
+    torch.manual_seed(11)
+    tmodel = SlowFast(cfg)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.is_floating_point():
+                p.copy_(torch.randn_like(p) * 0.05)
+    sd = {
+        k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()
+    }
+    tmodel.train()
+    optimizer = ref_optim.construct_optimizer(tmodel, cfg)
+    ce = torch.nn.CrossEntropyLoss()
+    ref_losses = []
+    for step in range(STEPS):
+        ref_optim.set_lr(
+            optimizer, ref_optim.get_epoch_lr(step / DATA_SIZE, cfg)
+        )
+        optimizer.zero_grad()
+        x = torch.from_numpy(vids[step].transpose(0, 4, 1, 2, 3))
+        logits = tmodel([x[:, :, ::alpha], x])
+        loss = ce(logits, torch.from_numpy(labels[step]))
+        loss.backward()
+        # reference train_net.py:110-116 clips before the step (the
+        # default SOLVER.CLIP_GRAD_L2NORM=0.05 is ACTIVE for conv nets)
+        if cfg.SOLVER.CLIP_GRAD_VAL:
+            torch.nn.utils.clip_grad_value_(
+                tmodel.parameters(), cfg.SOLVER.CLIP_GRAD_VAL
+            )
+        elif cfg.SOLVER.CLIP_GRAD_L2NORM:
+            torch.nn.utils.clip_grad_norm_(
+                tmodel.parameters(), cfg.SOLVER.CLIP_GRAD_L2NORM
+            )
+        optimizer.step()
+        ref_losses.append(float(loss.detach()))
+        if step == 0:
+            # snapshot after ONE step: EMA semantics before any weight
+            # divergence can compound through the deep stages
+            ref_stats = {
+                k: v.detach().numpy().copy()
+                for k, v in tmodel.state_dict().items()
+                if k.endswith(("running_mean", "running_var"))
+            }
+
+    # ---- ours, through the production state builder + train step
+    from focus_tpu.engine.trainer import (
+        build_supervised_state,
+        make_supervised_train_step,
+    )
+    from focus_tpu.models import losses as losses_lib
+    from focus_tpu.models.build import build_model
+    from focus_tpu.parallel import mesh as mesh_lib
+    from focus_tpu.utils.torch_import import import_torch_params
+
+    mesh = mesh_lib.build_mesh(cfg)
+    model = build_model(cfg)
+    pathways = lambda v: [jnp.asarray(v[:, ::alpha]), jnp.asarray(v)]
+    state = build_supervised_state(
+        cfg, model, mesh, (pathways(vids[0]), labels[0], None, {}),
+        steps_per_epoch=DATA_SIZE,
+    )
+    params, report = import_torch_params(
+        sd, state.params, allow_missing=False
+    )
+    assert not report["missing"], report["missing"]
+    state = state.replace(params=params)
+    train_step = make_supervised_train_step(
+        model, cfg, mesh, losses_lib.get_loss_func(cfg)
+    )
+    rng = jax.random.PRNGKey(0)
+    ours = []
+    stats1 = None
+    for step in range(STEPS):
+        state, stats = train_step(
+            state, pathways(vids[step]), jnp.asarray(labels[step]), {}, rng
+        )
+        ours.append(float(stats["loss"]))
+        if step == 0:
+            # materialize: the next donated step invalidates the buffers
+            stats1 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    # conv/BN at batch 2 with the active global-norm clip amplifies fp
+    # reassociation ~8x per step (the clip scale divides by a norm over
+    # millions of f32 entries); early steps pin semantics tightly, the
+    # tail only bounds the chaotic growth
+    np.testing.assert_allclose(ours[:4], ref_losses[:4], rtol=6e-4)
+    np.testing.assert_allclose(ours, ref_losses, rtol=1e-2)
+
+    # BN running-stat EMAs agree leaf-for-leaf with torch's buffers
+    # after one identical-weights step: pins the 0.1-momentum EMA and
+    # the unbiased-variance update exactly, chaos-free
+    from focus_tpu.utils.torch_import import flax_path_to_torch
+
+    flat = jax.tree_util.tree_flatten_with_path(stats1)[0]
+    checked = 0
+    for path, leaf in flat:
+        tup = tuple(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        tname, _ = flax_path_to_torch(tup[:-1] + ("bias",))
+        tname = tname[: -len(".bias")] + ".running_" + tup[-1]
+        assert tname in ref_stats, tname
+        np.testing.assert_allclose(
+            np.asarray(leaf), ref_stats[tname], rtol=2e-4, atol=2e-6,
+            err_msg=tname,
+        )
+        checked += 1
+    assert checked > 50  # every BN in stems/stages/fusions/nonlocal
