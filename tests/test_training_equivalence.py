@@ -309,3 +309,139 @@ def test_slowfast_bn_short_training_equivalence():
         )
         checked += 1
     assert checked > 50  # every BN in stems/stages/fusions/nonlocal
+
+
+def test_slowfast_detection_short_training_equivalence():
+    """AVA-style detection trainability parity: 6 SGD steps of the
+    skinny SlowFast detection variant (RoI head, sigmoid, BCE) must
+    reproduce the reference trajectory — with one box slot PADDED on our
+    side (boxes_mask=0) while the reference sees only the real boxes, so
+    the masked detection loss and its zero-gradient padding are pinned
+    against the reference's variable-box-count protocol."""
+    _load_reference()
+    from tests.test_conv_full_golden import slowfast_cfg
+
+    cfg = slowfast_cfg(detection=True)
+    cfg.MODEL.LOSS_FUNC = "bce"
+    cfg.MODEL.DROPOUT_RATE = 0.0
+    cfg.NUM_GPUS = 1
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.BASE_LR = 0.05
+    cfg.SOLVER.LR_POLICY = "cosine"
+    cfg.SOLVER.MAX_EPOCH = 2
+    cfg.SOLVER.MOMENTUM = 0.9
+    cfg.SOLVER.WEIGHT_DECAY = 1e-3
+    cfg.SOLVER.ZERO_WD_1D_PARAM = True
+    cfg.SOLVER.WARMUP_EPOCHS = 0.5
+    cfg.SOLVER.WARMUP_START_LR = 0.005
+    cfg.SOLVER.COSINE_AFTER_WARMUP = False
+    alpha = cfg.SLOWFAST.ALPHA
+    C = cfg.MODEL.NUM_CLASSES
+    B, O = 2, 3  # our padded layout; sample (1, 2) is the pad slot
+
+    rs = np.random.RandomState(17)
+    vids, labels, boxes = [], [], []
+    mask = np.ones((B, O), np.float32)
+    mask[1, 2] = 0.0
+    for _ in range(STEPS):
+        vids.append(rs.rand(B, 8, 64, 64, 3).astype(np.float32))
+        labels.append((rs.rand(B, O, C) > 0.7).astype(np.float32))
+        lo = rs.rand(B, O, 2).astype(np.float32) * 30.0
+        hi = lo + 8.0 + rs.rand(B, O, 2).astype(np.float32) * 20.0
+        boxes.append(np.concatenate(
+            [lo[..., :1], lo[..., 1:], hi[..., :1], hi[..., 1:]], axis=-1
+        ))
+
+    # ---- reference trajectory on the REAL boxes only
+    from slowfast.models import optimizer as ref_optim
+    from slowfast.models.video_model_builder import SlowFast
+
+    torch.manual_seed(23)
+    tmodel = SlowFast(cfg)
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.is_floating_point():
+                p.copy_(torch.randn_like(p) * 0.05)
+    sd = {
+        k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()
+    }
+    tmodel.train()
+    optimizer = ref_optim.construct_optimizer(tmodel, cfg)
+    bce = torch.nn.BCELoss()
+    real = mask.reshape(-1).astype(bool)
+    ref_losses = []
+    for step in range(STEPS):
+        ref_optim.set_lr(
+            optimizer, ref_optim.get_epoch_lr(step / DATA_SIZE, cfg)
+        )
+        optimizer.zero_grad()
+        x = torch.from_numpy(vids[step].transpose(0, 4, 1, 2, 3))
+        rois = torch.cat(
+            [
+                torch.cat(
+                    [
+                        torch.full((O, 1), float(b)),
+                        torch.from_numpy(boxes[step][b]),
+                    ],
+                    dim=1,
+                )
+                for b in range(B)
+            ],
+            dim=0,
+        )[real]
+        preds = tmodel([x[:, :, ::alpha], x], bboxes=rois)
+        loss = bce(
+            preds, torch.from_numpy(labels[step].reshape(-1, C)[real])
+        )
+        loss.backward()
+        if cfg.SOLVER.CLIP_GRAD_VAL:
+            torch.nn.utils.clip_grad_value_(
+                tmodel.parameters(), cfg.SOLVER.CLIP_GRAD_VAL
+            )
+        elif cfg.SOLVER.CLIP_GRAD_L2NORM:
+            torch.nn.utils.clip_grad_norm_(
+                tmodel.parameters(), cfg.SOLVER.CLIP_GRAD_L2NORM
+            )
+        optimizer.step()
+        ref_losses.append(float(loss.detach()))
+
+    # ---- ours on the PADDED layout through the production train step
+    from focus_tpu.engine.trainer import (
+        build_supervised_state,
+        make_supervised_train_step,
+    )
+    from focus_tpu.models import losses as losses_lib
+    from focus_tpu.models.build import build_model
+    from focus_tpu.parallel import mesh as mesh_lib
+    from focus_tpu.utils.torch_import import import_torch_params
+
+    mesh = mesh_lib.build_mesh(cfg)
+    model = build_model(cfg)
+    pathways = lambda v: [jnp.asarray(v[:, ::alpha]), jnp.asarray(v)]
+    meta = lambda step: {
+        "boxes": jnp.asarray(boxes[step]),
+        "boxes_mask": jnp.asarray(mask),
+    }
+    state = build_supervised_state(
+        cfg, model, mesh,
+        (pathways(vids[0]), labels[0], None, meta(0)),
+        steps_per_epoch=DATA_SIZE,
+    )
+    params, report = import_torch_params(
+        sd, state.params, allow_missing=False
+    )
+    assert not report["missing"], report["missing"]
+    state = state.replace(params=params)
+    train_step = make_supervised_train_step(
+        model, cfg, mesh, losses_lib.get_loss_func(cfg)
+    )
+    rng = jax.random.PRNGKey(0)
+    ours = []
+    for step in range(STEPS):
+        state, stats = train_step(
+            state, pathways(vids[step]), jnp.asarray(labels[step]),
+            meta(step), rng,
+        )
+        ours.append(float(stats["loss"]))
+    np.testing.assert_allclose(ours[:4], ref_losses[:4], rtol=6e-4)
+    np.testing.assert_allclose(ours, ref_losses, rtol=1e-2)
