@@ -87,15 +87,20 @@ def main():
     from focus_tpu.models.build import build_model
 
     cfg = ge._flagship_cfg()
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.MODEL.ARCH = "slow"  # single-pathway packing (the SSv2 recipe)
+    # bf16 on TPU; the CPU smoke path lacks bf16 dot support
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16" if on_tpu else "float32"
+    if not on_tpu:
+        cfg.TPU.USE_PALLAS = False
     cfg.TEST.BATCH_SIZE = 8
     cfg.TEST.DATASET = "ssv2"
     cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
     cfg.TEST.NUM_SPATIAL_CROPS = 1
-    cfg.DATA.PATH_TO_DATA_DIR = os.path.join(root, "sm")
-    cfg.DATA.PATH_PREFIX = os.path.join(root, "frames")
-    cfg.SSV2.BOXES_DIR = os.path.join(root, "detected_boxes")
-    cfg.SSV2.READ_BOXES = True
+    cfg.SSV2.DATA_ROOT = root
+    cfg.SSV2.SPLITS_ROOT = root
+    cfg.SSV2.SPLIT = "standard"
+    cfg.SSV2.BOXES_FORMAT = "detectron2"
     cfg.DATA_LOADER.NUM_WORKERS = 8
 
     model = build_model(cfg)
