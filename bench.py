@@ -148,6 +148,15 @@ def main():
     cfg_fast.TPU.FAST_GELU = True
     fast_clips_per_sec = measure(cfg_fast, video, boxes)
 
+    # labeled serving variant: W8A8 dynamic int8 dense on the int8 MXU
+    # (erf numerics elsewhere; logit delta pinned in
+    # tests/test_int8_serving.py; full matrix in BENCH_NOTES round 3)
+    cfg_int8 = ge._flagship_cfg()
+    cfg_int8.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg_int8.TPU.FAST_GELU = False
+    cfg_int8.TPU.INT8_SERVING = True
+    int8_clips_per_sec = measure(cfg_int8, video, boxes)
+
     print(
         json.dumps(
             {
@@ -156,6 +165,7 @@ def main():
                 "unit": "clips/s",
                 "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
                 "fast_gelu_clips_per_sec": round(fast_clips_per_sec, 2),
+                "int8_serving_clips_per_sec": round(int8_clips_per_sec, 2),
             }
         )
     )
