@@ -37,6 +37,53 @@ import numpy as np
 
 A100_BASELINE_CLIPS_PER_SEC = 100.0
 
+# Measurement-protocol tag carried in every bench record so numbers are
+# comparable across rounds (round-3 verdict: the r2->r3 headline change
+# was a protocol fix, not a regression, but the JSON said nothing).
+#   fetch-forced-chain-v2 = random weights at init scale passed as jit
+#   ARGUMENTS; iterations chained through a data dependence; ONE host
+#   fetch at the end forces the full chain (the axon relay memoises
+#   repeated identical dispatches and does not honor block_until_ready).
+PROTOCOL = "fetch-forced-chain-v2"
+
+_COMPANIONS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_COMPANIONS.json"
+)
+
+
+def record_companion(name, value, unit, script, extra=None):
+    """Persist a companion metric (B=1 latency, HR-336, train clips/s,
+    STEVE rollout fps, ...) into BENCH_COMPANIONS.json with provenance,
+    so bench.py's headline JSON can carry the latest measured values
+    without re-running every expensive companion each driver round."""
+    try:
+        with open(_COMPANIONS_PATH) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        rec = {}
+    entry = {
+        "value": round(float(value), 2),
+        "unit": unit,
+        "script": script,
+        "protocol": PROTOCOL,
+        "measured_at": time.strftime("%Y-%m-%d"),
+    }
+    if extra:
+        entry.update(extra)
+    rec[name] = entry
+    with open(_COMPANIONS_PATH, "w") as f:
+        json.dump(rec, f, indent=2, sort_keys=True)
+        f.write("\n")
+    return entry
+
+
+def load_companions():
+    try:
+        with open(_COMPANIONS_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
 
 def random_params_like(shapes_tree, scale=0.02):
     """Materialise random params on device with one tiny jitted program
@@ -166,6 +213,14 @@ def main():
                 "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
                 "fast_gelu_clips_per_sec": round(fast_clips_per_sec, 2),
                 "int8_serving_clips_per_sec": round(int8_clips_per_sec, 2),
+                "protocol": PROTOCOL,
+                "baseline": "estimated 100 clips/s torch-eager A100 (BASELINE.md)",
+                "variants": {
+                    "value": "exact-erf gelu, bf16 compute — the parity-tested numerics",
+                    "fast_gelu": "tanh gelu (TPU.FAST_GELU recipe; tests/test_hw_gelu.py delta table)",
+                    "int8_serving": "W8A8 dynamic dense (TPU.INT8_SERVING; tests/test_int8_serving.py)",
+                },
+                "companions": load_companions(),
             }
         )
     )

@@ -79,6 +79,15 @@ def tensor_normalize(frames: np.ndarray, mean, std) -> np.ndarray:
     return (frames - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+def revert_tensor_normalize(frames: np.ndarray, mean, std) -> np.ndarray:
+    """Undo ``tensor_normalize`` back to [0, 1] floats (reference
+    utils.py revert_tensor_normalize)."""
+    frames = np.asarray(frames, np.float32)
+    return frames * np.asarray(std, np.float32) + np.asarray(
+        mean, np.float32
+    )
+
+
 def spatial_sampling(
     frames: np.ndarray,
     spatial_idx: int = -1,

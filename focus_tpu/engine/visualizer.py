@@ -19,6 +19,41 @@ from focus_tpu.visualization.tensorboard_vis import TensorboardWriter
 logger = logging.get_logger(__name__)
 
 
+def perform_wrong_prediction_vis(cfg, model, state, loader, writer):
+    """Sweep the test loader, collect misclassified clips, and write
+    them to TensorBoard (reference tools/visualization.py:185-248)."""
+    from focus_tpu.visualization.prediction_vis import WrongPredictionVis
+
+    vis = WrongPredictionVis(cfg, writer)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fwd(variables, video, metadata):
+        return model.apply(variables, video, metadata)
+
+    for batch_idx, batch in enumerate(loader):
+        video, labels, metadata = _split_batch(batch)
+        video_dev = jax.tree_util.tree_map(jnp.asarray, video)
+        meta_dev = {
+            k: jnp.asarray(v)
+            for k, v in (metadata or {}).items()
+            if isinstance(v, np.ndarray)
+        }
+        preds = fwd(variables, video_dev, meta_dev)
+        if not hasattr(preds, "shape"):
+            logger.warning(
+                "WrongPredictionVis supports single-logit models only "
+                "(got %s); skipping", type(preds).__name__
+            )
+            break
+        vis.visualize_vid(video, np.asarray(preds), labels, batch_idx)
+    vis.clean()
+
+
 def visualize(cfg):
     """(reference tools/visualization.py:250-345)"""
     if not cfg.TENSORBOARD.ENABLE:
@@ -39,7 +74,8 @@ def visualize(cfg):
             w = TensorboardWriter(cfg)
             w.plot_eval(np.asarray(preds), np.asarray(labels))
             w.close()
-    if not cfg.TENSORBOARD.MODEL_VIS.ENABLE:
+    wrong_pred = cfg.TENSORBOARD.WRONG_PRED_VIS.ENABLE
+    if not (cfg.TENSORBOARD.MODEL_VIS.ENABLE or wrong_pred):
         return
     mesh = mesh_lib.build_mesh(cfg)
     model = build_model(cfg)
@@ -48,6 +84,18 @@ def visualize(cfg):
     state = build_supervised_state(cfg, model, mesh, sample, 1)
     state = cu.load_test_checkpoint(cfg, state)
     writer = TensorboardWriter(cfg)
+
+    if wrong_pred:
+        # reference tools/visualization.py:346-350 runs the wrong-
+        # prediction sweep over the full test loader after model vis
+        logger.info(
+            "Visualize Wrong Predictions for %d iterations", len(loader)
+        )
+        perform_wrong_prediction_vis(cfg, model, state, loader, writer)
+    if not cfg.TENSORBOARD.MODEL_VIS.ENABLE:
+        writer.close()
+        logger.info("Visualization done.")
+        return
 
     layer_list = [
         str(l).replace(".", "/")

@@ -228,7 +228,7 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
                      o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq,
                      skip_stage2=False, stage2_k2mm=False,
-                     prescale_q=False):
+                     prescale_q=False, stage1="f32"):
     """v4: stage-1 QK batched across frames.
 
     v3's grid is (b, q_block, frame) with one [BQ, hd] x [hd, N] matmul
@@ -253,9 +253,64 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
     tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
     fq = tok // n_valid
 
+    if stage1 != "f32":
+        # Valid-row frame-selector matrix for MXU-side normaliser sums:
+        # sum_mat[r, f2] = 1 where row r is a VALID key of frame f2, so
+        # s[:, f2] = p @ sum_mat picks up every windowed sum in ONE
+        # matmul (4 MFLOP/cell) instead of f VPU slice-reduction passes
+        # over the [BQ, F*N_pad] weight matrix.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (f * n_pad, f), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (f * n_pad, f), 1)
+        sum_mat = jnp.logical_and(
+            rows // n_pad == cols, rows % n_pad < n_valid
+        ).astype(v_ref.dtype)
+
     # ---- stage 1: per head, QK over all frames at once ----
     for hi in range(h):
         sl = slice(hi * hd, (hi + 1) * hd)
+        if stage1 != "f32":
+            # Low-VPU stage-1 forms (labeled variants; see STAGE1 notes
+            # in the module docstring / BENCH_NOTES round 4):
+            #  - "mxu_sum": weights rounded once to the PV dtype (the PV
+            #    product already consumed them at that precision) and the
+            #    per-frame normalisers computed on the MXU from the SAME
+            #    rounded weights — removes the f windowed VPU reduction
+            #    passes and keeps numerator/denominator self-consistent.
+            #  - "bf16": additionally evaluates multiply+exp2 at bf16 —
+            #    softmax logits round to ~2^-9 absolute, a numerics
+            #    change beyond bf16-class (serving-variant only).
+            logits = jax.lax.dot_general(
+                q_ref[0, :, sl], k_ref[0, :, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, F*N_pad]
+            if stage1 == "bf16":
+                lp = logits.astype(jnp.bfloat16) * jnp.bfloat16(c)
+                pb = jnp.exp2(jnp.minimum(lp, jnp.bfloat16(110.0))).astype(
+                    v_ref.dtype
+                )
+            else:  # mxu_sum
+                pb = jnp.exp2(jnp.minimum(logits * c, 110.0)).astype(
+                    v_ref.dtype
+                )
+            s_all = jnp.maximum(
+                jax.lax.dot_general(
+                    pb, sum_mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ),
+                1e-30,
+            )  # [BQ, F]
+            for fi in range(f):
+                o = jax.lax.dot_general(
+                    pb[:, fi * n_pad:(fi + 1) * n_pad],
+                    v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                xs_ref[fi, :, sl] = (o / s_all[:, fi:fi + 1]).astype(
+                    xs_ref.dtype
+                )
+            continue
         if prescale_q:
             # fold the exp2 softmax constant into the [BQ, hd] MXU
             # operand (32x narrower than the [BQ, F*N_pad] logit matrix
@@ -365,7 +420,8 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
                          block_q: int = 256, interpret: bool = False,
                          skip_stage2: bool = False,
                          stage2_k2mm: bool = False,
-                         prescale_q: bool = False):
+                         prescale_q: bool = False,
+                         stage1: str = "f32"):
     """v4 wrapper: grid (b, q_block); keys/values frame-concatenated."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -390,7 +446,7 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
         functools.partial(
             _fused_kernel_v4, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
             skip_stage2=skip_stage2, stage2_k2mm=stage2_k2mm,
-            prescale_q=prescale_q,
+            prescale_q=prescale_q, stage1=stage1,
         ),
         grid=grid,
         in_specs=[
@@ -772,14 +828,30 @@ KERNEL_FLAGS = dict(nomax=True, inline_diag=False, stage2_bf16=False,
 # per-frame MXU launches they remove; kept for A/B.
 FWD_VERSION = 4
 
+# stage-1 evaluation mode for the v4 forward (read at trace time like
+# FWD_VERSION/KERNEL_FLAGS; the model plumbs cfg.TPU.STAGE1 here):
+#   "f32"     — shipped default: f32 logits/exp2, VPU windowed sums.
+#   "mxu_sum" — weights rounded once to the PV dtype, per-frame
+#               normalisers via one MXU matmul against a frame-selector
+#               matrix. In f32 this is bit-equivalent to "f32"; in bf16
+#               the normaliser sees the same rounded weights the PV
+#               product always consumed (self-consistent softmax of
+#               bf16-rounded weights).
+#   "bf16"    — additionally multiply+exp2 at bf16 (labeled serving
+#               variant: logit rounding ~2^-9 absolute).
+STAGE1_MODE = "f32"
+
 
 def _fwd_impl():
-    return {
+    base = {
         3: _fused_fwd_pallas,
         4: _fused_fwd_pallas_v4,
         5: _fused_fwd_pallas_v5,
         6: _fused_fwd_pallas_v6,
     }[FWD_VERSION]
+    if FWD_VERSION == 4 and STAGE1_MODE != "f32":
+        return functools.partial(base, stage1=STAGE1_MODE)
+    return base
 
 
 def _fused_fwd_pallas(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,

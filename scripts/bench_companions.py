@@ -17,7 +17,7 @@ import numpy as np
 def main():
     parts = sys.argv[1:] or ["b1", "hr336"]
     import jax.numpy as jnp
-    from bench import measure
+    from bench import measure, record_companion
     import __graft_entry__ as ge
 
     rs = np.random.RandomState(0)
@@ -28,6 +28,10 @@ def main():
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
         rate = measure(cfg, video, boxes, iters=20)
         print(f"B=1 latency: {1000 / rate:.1f} ms/clip", flush=True)
+        record_companion(
+            "b1_latency_ms_per_clip", 1000 / rate, "ms",
+            "scripts/bench_companions.py b1",
+        )
 
     if "hr336" in parts:
         # EK high-res stress: 336px crop -> 441-token frames
@@ -40,6 +44,10 @@ def main():
         boxes = jnp.asarray(rs.rand(B, 8, 4, 4) * 0.5 + 0.25, jnp.float32)
         rate = measure(cfg, video, boxes, iters=8)
         print(f"HR-336 B={B}: {rate:.2f} clips/s", flush=True)
+        record_companion(
+            "hr336_ek_b4_clips_per_sec", rate, "clips/s",
+            "scripts/bench_companions.py hr336",
+        )
 
 
 if __name__ == "__main__":

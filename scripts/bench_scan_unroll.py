@@ -13,9 +13,11 @@ under the fetch-forced protocol.
 Usage: python scripts/bench_scan_unroll.py [B]
 """
 
+import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp
@@ -36,6 +38,10 @@ def main():
         cfg = ge._flagship_cfg()
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
         cfg.TPU.FAST_GELU = False
+        # Pin REMAT explicitly: ScannedTrajBlocks consumes TPU.REMAT but
+        # the unrolled TrajectoryAttentionBlock path does not, so the A/B
+        # is only scan-vs-unroll when remat is off on both sides.
+        cfg.TPU.REMAT = False
         cfg.TPU.SCAN_LAYERS = scan
         clips = bench_mod.measure(cfg, video, boxes)
         results["scan" if scan else "unroll"] = clips
@@ -43,6 +49,16 @@ def main():
 
     ratio = results["unroll"] / results["scan"]
     print(f"unroll/scan speedup: {ratio:.3f}x", flush=True)
+    print(
+        json.dumps(
+            {
+                "scan_clips_per_sec": round(results["scan"], 2),
+                "unroll_clips_per_sec": round(results["unroll"], 2),
+                "unroll_over_scan": round(ratio, 3),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

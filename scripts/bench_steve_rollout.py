@@ -83,6 +83,14 @@ def main():
             f"{frames / dt:.1f} fps",
             flush=True,
         )
+        if kv:
+            from bench import record_companion
+
+            record_companion(
+                "steve_rollout_kv_fps", frames / dt, "frames/s",
+                "scripts/bench_steve_rollout.py kv",
+                extra={"shape": f"movi_e/base 64px gen_len 256 B={B} T={T}"},
+            )
 
 
 if __name__ == "__main__":

@@ -87,6 +87,13 @@ def run_variant(name):
         f"{name}: {dt * 1000:.1f} ms/step = {B / dt:.2f} clips/s (train)",
         flush=True,
     )
+    if name == "pallas":
+        from bench import record_companion
+
+        record_companion(
+            "train_b8_clips_per_sec", B / dt, "clips/s",
+            "scripts/profile_train.py pallas",
+        )
 
 
 def main():

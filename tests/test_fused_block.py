@@ -214,3 +214,40 @@ def test_patch_embed_matmul_matches_conv():
     np.testing.assert_allclose(
         np.asarray(out_fast), np.asarray(out_slow), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("mode", ["mxu_sum", "bf16"])
+def test_fused_core_v4_stage1_variants(mode):
+    """Low-VPU stage-1 forms. In f32 inputs "mxu_sum" changes only the
+    reduction order of the normaliser (MXU f32 accumulation) — near-exact;
+    "bf16" rounds the softmax logits to bf16 (a labeled serving variant)
+    and only needs to stay finite and close at random-weight scale."""
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    args = make_inputs(seed=5)
+    heads = 4
+    scale = (16 // heads) ** -0.5
+    ref = tb._xla_reference(*args, scale, heads)
+    out = tb._fused_fwd_pallas_v4(*args, scale, heads, interpret=True,
+                                  stage1=mode)
+    assert np.isfinite(np.asarray(out)).all()
+    atol = 2e-5 if mode == "mxu_sum" else 5e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+@pytest.mark.parametrize("mode", ["mxu_sum", "bf16"])
+@pytest.mark.parametrize("sign,mag", [(-1.0, 25.0), (-1.0, 60.0), (1.0, 50.0)])
+def test_fused_core_v4_stage1_variants_extreme(mode, sign, mag):
+    """The stage-1 variants must inherit the nomax robustness guarantees:
+    finite outputs when every valid logit is strongly negative (normaliser
+    underflow) or strongly positive (exp2 clamp)."""
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    args, scale = _extreme_inputs(sign, mag)
+    heads = 4
+    ref = tb._xla_reference(*args, scale, heads)
+    out = tb._fused_fwd_pallas_v4(*args, scale, heads, interpret=True,
+                                  stage1=mode)
+    assert np.isfinite(np.asarray(out)).all()
+    atol = 5e-4 if mode == "mxu_sum" else 5e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
