@@ -158,35 +158,68 @@ def visualize(cfg):
             np.clip(vid.transpose(0, 1, 4, 2, 3), 0, 1), tag="input_video"
         )
 
-    if (
-        cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM.ENABLE
-        and cfg.MODEL.MODEL_NAME == "Motionformer"
-    ):
-        from focus_tpu.visualization.gradcam import gradcam_motionformer
+    if cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM.ENABLE:
+        from focus_tpu.visualization.gradcam import (
+            gradcam_motionformer,
+            model_gradcam,
+            overlay_heatmap,
+        )
 
         video, labels, metadata = _split_batch(sample)
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        # GRAD_CAM.LAYER_LIST names the target block (reference
-        # tools/visualization.py:66-69); parse its index, default to the
-        # last block
-        layer = cfg.MF.DEPTH - 1
-        gc_layers = cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM.LAYER_LIST or ()
-        if gc_layers:
-            import re
+        gc = cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM
+        gc_layers = [str(l) for l in (gc.LAYER_LIST or ())]
+        if cfg.MODEL.MODEL_NAME == "Motionformer":
+            # token-grid models: split-at-block Grad-CAM; LAYER_LIST
+            # names the target block (reference tools/visualization.py
+            # :66-69) — parse its index, default to the last block
+            layer = cfg.MF.DEPTH - 1
+            if gc_layers:
+                import re
 
-            m = re.search(r"(\d+)\s*$", str(gc_layers[0]))
-            if m:
-                layer = min(int(m.group(1)), cfg.MF.DEPTH - 1)
-        cams = gradcam_motionformer(
-            model, variables, video, metadata, layer,
-            labels=labels,
-            use_labels=cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM.USE_TRUE_LABEL,
-        )
-        cams = np.asarray(cams)  # [B, T', h, w]
-        # upsample to video frames and overlay as red channel
-        writer.add_video(cams[:, :, None].repeat(3, axis=2), tag="gradcam")
+                m = re.search(r"(\d+)\s*$", gc_layers[0])
+                if m:
+                    layer = min(int(m.group(1)), cfg.MF.DEPTH - 1)
+            cams = gradcam_motionformer(
+                model, variables, video, metadata, layer,
+                labels=labels, use_labels=gc.USE_TRUE_LABEL,
+            )  # [B, T', h, w] token grid
+            vid = np.asarray(video)
+            cam = jax.image.resize(
+                cams, (cams.shape[0],) + vid.shape[1:4], method="trilinear"
+            )
+            cam_list, vid_list = [cam], [vid]
+        else:
+            # CNN families: activation taps at named layers (reference
+            # gradcam_utils.py:12-110); default to the last conv stage,
+            # which expands to one cam per pathway
+            names = [l.replace(".", "/") for l in gc_layers] or ["s5"]
+            import jax.numpy as jnp
+
+            video_dev = jax.tree_util.tree_map(jnp.asarray, video)
+            cam_list, _ = model_gradcam(
+                model, variables, video_dev, metadata, names,
+                labels=labels, use_labels=gc.USE_TRUE_LABEL,
+            )
+            vid_list = [
+                np.asarray(v)
+                for v in (video if isinstance(video, (list, tuple))
+                          else [video])
+            ]
+        # colormap overlay on the de-normalised frames (reference
+        # gradcam_utils.py:155-170)
+        for p, cam in enumerate(cam_list):
+            vid = vid_list[min(p, len(vid_list) - 1)]
+            overlaid = overlay_heatmap(
+                np.asarray(cam), vid, cfg.DATA.MEAN, cfg.DATA.STD,
+                colormap=gc.COLORMAP,
+            )
+            writer.add_video(
+                overlaid.transpose(0, 1, 4, 2, 3),
+                tag=f"gradcam/pathway{p}",
+            )
 
     writer.close()
     logger.info("Visualization done.")
