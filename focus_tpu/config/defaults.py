@@ -554,6 +554,19 @@ _DEFAULTS = {
         "PREEMPT_SYNC_PERIOD": 10,
         # use Pallas kernels for hot ops when running on TPU.
         "USE_PALLAS": True,
+        # device-resident preprocessing (north-star data path): eval
+        # frame pipelines ship uint8 pixels (4x smaller H2D) and the
+        # jitted step normalises on device (ops/preprocess.py), fusing
+        # (x/255-mean)/std into the stem. Host does decode+resize+crop
+        # only. Applies to frame datasets with the native decoder; the
+        # float path is the fallback and numerically identical up to
+        # the uint8 rounding the host resize already performs.
+        "DEVICE_PREPROCESS": True,
+        # allow libjpeg DCT-scaled decode in the uint8 eval path when
+        # the source is >=2x the target (decodes at 1/2..1/8 resolution;
+        # an area-average-then-bilinear filter instead of the reference's
+        # full-res bilinear — a labeled decode variant, off by default).
+        "DECODE_DCT_SCALE": False,
         # tanh-approximate gelu in MLPs (MXU-adjacent VPU saver; ~1e-4
         # output delta vs the exact erf gelu the reference uses)
         "FAST_GELU": False,

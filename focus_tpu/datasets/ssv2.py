@@ -251,9 +251,15 @@ class Ssv2:
             seq = self.get_seq_frames(index, len(allframes), rng)
             fpaths = [os.path.join(bpath, allframes[i]) for i in seq]
 
-        # fast path (eval): native decode+resize+normalize in one C++ pass
+        # fast path (eval): native decode+resize in one C++ pass. With
+        # TPU.DEVICE_PREPROCESS the frames stay uint8 end-to-end on host
+        # (crop below is a byte slice) and the jitted step normalises on
+        # device (ops/preprocess.py) — else C++ also normalises to f32.
         if spatial_idx != -1 and not (cfg.AUG.ENABLE and self.mode == "train"):
-            native_frames = self._load_frames_native(fpaths, min_scale)
+            if cfg.TPU.DEVICE_PREPROCESS:
+                native_frames = self._load_frames_native_u8(fpaths, min_scale)
+            else:
+                native_frames = self._load_frames_native(fpaths, min_scale)
             if native_frames is not None:
                 frames, boxes_scale = native_frames
                 if boxes is not None:
@@ -300,9 +306,7 @@ class Ssv2:
 
         return self._finalize(frames, boxes, index)
 
-    def _load_frames_native(self, fpaths, short_side):
-        """Native decode + short-side resize + normalize. Returns
-        (frames [T,H',W',C] float32, box_scale) or None."""
+    def _native_target_dims(self, fpaths, short_side):
         try:
             from focus_tpu import native
         except ImportError:
@@ -319,6 +323,15 @@ class Ssv2:
         else:
             new_w, new_h = int(np.floor(w / h * short_side)), short_side
             scale = short_side / h
+        return native, new_h, new_w, scale
+
+    def _load_frames_native(self, fpaths, short_side):
+        """Native decode + short-side resize + normalize. Returns
+        (frames [T,H',W',C] float32, box_scale) or None."""
+        tgt = self._native_target_dims(fpaths, short_side)
+        if tgt is None:
+            return None
+        native, new_h, new_w, scale = tgt
         frames = native.decode_jpeg_batch(
             fpaths, new_h, new_w,
             mean=tuple(self.cfg.DATA.MEAN), std=tuple(self.cfg.DATA.STD),
@@ -328,10 +341,28 @@ class Ssv2:
             return None
         return frames, scale
 
+    def _load_frames_native_u8(self, fpaths, short_side):
+        """Native decode + short-side resize, frames kept uint8 (the
+        device-preprocess path: normalisation happens on the TPU).
+        Returns (frames [T,H',W',C] uint8, box_scale) or None."""
+        tgt = self._native_target_dims(fpaths, short_side)
+        if tgt is None:
+            return None
+        native, new_h, new_w, scale = tgt
+        frames = native.decode_jpeg_batch_u8(
+            fpaths, new_h, new_w, num_threads=2,
+            dct_scale=bool(self.cfg.TPU.DECODE_DCT_SCALE),
+        )
+        if frames is None:
+            return None
+        return frames, scale
+
     def _finalize(self, frames, boxes, index):
         cfg = self.cfg
         label = self._labels[index]
-        pathways = data_utils.pack_pathway_output(cfg, frames.astype(np.float32))
+        if frames.dtype != np.uint8:
+            frames = frames.astype(np.float32)
+        pathways = data_utils.pack_pathway_output(cfg, frames)
         metadata = {}
         if boxes is not None:
             h, w = frames.shape[1:3]

@@ -19,6 +19,7 @@ from focus_tpu.datasets import loader as data_loader
 from focus_tpu.models import losses as losses_lib
 from focus_tpu.models import optimizer as optim
 from focus_tpu.models.build import build_model, init_model
+from focus_tpu.ops.preprocess import device_normalize
 from focus_tpu.parallel import mesh as mesh_lib
 from focus_tpu.parallel.train_state import TrainState
 from focus_tpu.utils import checkpoint as cu
@@ -138,6 +139,7 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
                 det_denom=None):
         """The one forward+loss closure both step variants differentiate
         (single-shot and GRAD_ACCUM microbatch)."""
+        video = device_normalize(video, cfg)
         variables = {"params": params}
         has_bn = batch_stats is not None
         if has_bn:
@@ -286,6 +288,7 @@ def make_supervised_eval_step(model, cfg, mesh):
     detection = cfg.DETECTION.ENABLE
 
     def eval_step(state, video, metadata):
+        video = device_normalize(video, cfg)
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
@@ -325,6 +328,9 @@ def _split_batch(batch):
 def build_supervised_state(cfg, model, mesh, sample_batch, steps_per_epoch):
     video, labels, metadata = _split_batch(sample_batch)
     video = jax.tree_util.tree_map(jnp.asarray, video)
+    # uint8 device-preprocess batches: init sees the float view the
+    # jitted steps compute with
+    video = device_normalize(video, cfg)
     if cfg.DETECTION.ENABLE:
         variables = init_model(
             model, cfg, (video, metadata, metadata["boxes"])

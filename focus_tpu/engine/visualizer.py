@@ -77,6 +77,11 @@ def visualize(cfg):
     wrong_pred = cfg.TENSORBOARD.WRONG_PRED_VIS.ENABLE
     if not (cfg.TENSORBOARD.MODEL_VIS.ENABLE or wrong_pred):
         return
+    # vis paths call model.apply directly and de-normalise frames on
+    # host — keep the float host-normalised pipeline here (the uint8
+    # device-preprocess contract only holds inside the engine steps)
+    cfg = cfg.clone()
+    cfg.TPU.DEVICE_PREPROCESS = False
     mesh = mesh_lib.build_mesh(cfg)
     model = build_model(cfg)
     loader = data_loader.construct_loader(cfg, "test")

@@ -40,6 +40,12 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_float, ctypes.c_int,
     ]
+    lib.decode_jpeg_batch_u8.restype = ctypes.c_int
+    lib.decode_jpeg_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int,
+    ]
     lib.jpeg_dims.restype = ctypes.c_int
     lib.jpeg_dims.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -100,5 +106,31 @@ def decode_jpeg_batch(
         arr, n, out_h, out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mean_a, std_a, ctypes.c_float(scale), num_threads,
+    )
+    return out
+
+
+def decode_jpeg_batch_u8(
+    paths,
+    out_h: int,
+    out_w: int,
+    num_threads: int = 4,
+    dct_scale: bool = False,
+) -> Optional[np.ndarray]:
+    """Decode + bilinear-resize to [len(paths), out_h, out_w, 3] uint8
+    (no normalisation — the device-preprocess graph applies it on the
+    TPU). ``dct_scale`` permits libjpeg DCT-scaled decode (faster, but
+    an area-average-then-bilinear filter instead of pure bilinear).
+    Returns None if the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.decode_jpeg_batch_u8(
+        arr, n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads, int(dct_scale),
     )
     return out

@@ -473,6 +473,172 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
     return out[:, :S]
 
 
+def _fused_kernel_v7(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
+                     o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq):
+    """v7: transposed-packed stage-1 (round-4 perf track).
+
+    v4 sweeps min+exp2 over a [BQ, F*N_pad] logit matrix with N padded
+    to the 128-lane boundary (196 -> 256 at MF-224: 23% of the dominant
+    VPU pass burns on pad lanes), then runs f windowed VPU slice-sums
+    per head for the normalisers. Here the logits are computed
+    TRANSPOSED — [F*np8, BQ] with keys on the sublane axis — so frames
+    only pad to the 8-sublane boundary (196 -> 200): the min+exp2 sweep
+    covers 1600 instead of 2048 rows (-22% lanes), and the per-frame
+    normaliser sums become ONE masked [F, F*np8] x [F*np8, BQ] MXU
+    matmul per head (precision HIGHEST so the f32 weights reduce at
+    f32 precision, matching the v4 f32-mode normaliser numerics),
+    removing all windowed VPU reduction passes. PV products contract
+    the sublane axis directly ([np8, BQ]^T x [np8, hd]); pad rows carry
+    v=0 so their p=exp2(0)=1 contributes nothing, and the sum mask
+    excludes them exactly (no pad-count cancellation hazard).
+    Diagonal collect and stage 2 are v4's unchanged.
+
+    k_ref/v_ref: [1, F*np8, C] (frame-major rows, np8 = roundup(N, 8)).
+    """
+    C = q_ref.shape[-1]
+    hd = C // h
+    np8 = k_ref.shape[1] // f
+    qi = pl.program_id(1)
+    c = scale * _LOG2E
+
+    tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    fq = tok // n_valid
+
+    # [F, F*np8] valid-row selector: mask[f2, r] = 1 iff row r is a
+    # valid (non-pad) key of frame f2. Built once per cell (~F*F*np8
+    # lanes, negligible next to the logit sweep).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (f, f * np8), 1)
+    frs = jax.lax.broadcasted_iota(jnp.int32, (f, f * np8), 0)
+    sum_mask = jnp.logical_and(
+        rows // np8 == frs, rows % np8 < n_valid
+    ).astype(jnp.float32)
+
+    # ---- stage 1: per head, transposed QK over all frames at once ----
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        logits_t = jax.lax.dot_general(
+            k_ref[0, :, sl], q_ref[0, :, sl],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [F*np8, BQ]
+        p = jnp.exp2(jnp.minimum(logits_t * c, 110.0))
+        s_all = jnp.maximum(
+            jax.lax.dot_general(
+                sum_mask, p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            1e-30,
+        )  # [F, BQ]
+        s_t = s_all.T  # [BQ, F]
+        for fi in range(f):
+            o = jax.lax.dot_general(
+                p[fi * np8:(fi + 1) * np8].astype(v_ref.dtype),
+                v_ref[0, fi * np8:(fi + 1) * np8, sl],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, hd]
+            xs_ref[fi, :, sl] = (o / s_t[:, fi:fi + 1]).astype(xs_ref.dtype)
+
+    # ---- diagonal collect (v4/diag_frame form) ----
+    for fi in range(f):
+        inter = jnp.logical_and(
+            fi * n_valid < qi * bq + bq, (fi + 1) * n_valid > qi * bq
+        )
+
+        @pl.when(inter)
+        def _collect_diag(fi=fi):
+            diag_ref[...] = jnp.where(fq == fi, xs_ref[fi], diag_ref[...])
+
+    # ---- stage 2 (v4 fouter form, unchanged) ----
+    x_diag = diag_ref[...]
+    q2 = jax.lax.dot_general(
+        x_diag, wq2_ref[...].astype(xs_ref.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + bq2_ref[0].astype(jnp.float32)
+    q2 = q2 * scale
+    wk2 = wk2_ref[...]
+    cols = [[None] * f for _ in range(h)]
+    gs = [
+        jax.lax.dot_general(
+            q2[:, hi * hd:(hi + 1) * hd].astype(xs_ref.dtype),
+            wk2[:, hi * hd:(hi + 1) * hd],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for hi in range(h)
+    ]
+    for f2 in range(f):
+        xs_f = xs_ref[f2].astype(jnp.float32)
+        for hi in range(h):
+            cols[hi][f2] = jnp.sum(gs[hi] * xs_f, axis=-1, keepdims=True)
+    outs = []
+    for hi in range(h):
+        sl = slice(hi * hd, (hi + 1) * hd)
+        l2 = jnp.concatenate(cols[hi], axis=-1)
+        m2 = jnp.max(l2, axis=-1, keepdims=True)
+        a2 = jnp.exp(l2 - m2)
+        a2 = a2 / jnp.sum(a2, axis=-1, keepdims=True)
+        acc = jnp.zeros((bq, hd), jnp.float32)
+        for f2 in range(f):
+            acc = acc + a2[:, f2:f2 + 1] * xs_ref[f2, :, sl].astype(
+                jnp.float32
+            )
+        outs.append(acc)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fused_fwd_pallas_v7(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
+                         block_q: int = 256, interpret: bool = False):
+    """v7 wrapper: keys/values frame-concatenated at 8-row packing."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, S, C = q.shape
+    F, N = kf.shape[1], kf.shape[2]
+    np8 = _round_up(N, 8)
+    if np8 != N:
+        pad = [(0, 0), (0, 0), (0, np8 - N), (0, 0)]
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    kf2 = kf.reshape(B, F * np8, C)
+    vf2 = vf.reshape(B, F * np8, C)
+    bq = min(block_q, _round_up(S, 8))
+    s_pad = _round_up(S, bq)
+    if s_pad != S:
+        q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
+    bq2_2d = bq2.reshape(1, C)
+    bk2_2d = bk2.reshape(1, C)
+
+    grid = (B, s_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel_v7, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, F * np8, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * np8, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((F, bq, C), q.dtype),
+            pltpu.VMEM((bq, C), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, kf2, vf2, wq2, bq2_2d, wk2, bk2_2d)
+    return out[:, :S]
+
+
 def _fused_kernel_v6(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
                      o_ref, xs_ref, diag_ref, k2v_ref, *, scale, n_valid, f,
                      h, bq):
@@ -826,6 +992,8 @@ KERNEL_FLAGS = dict(nomax=True, inline_diag=False, stage2_bf16=False,
 # fetch-forced protocol (3.54 vs 2.76 ms/call, scripts/profile_v5.py)
 # — the extra full-width [BQ, F*N_pad] VPU passes cost more than the
 # per-frame MXU launches they remove; kept for A/B.
+# 7 = transposed-packed stage-1 (8-row frame packing: -22% min/exp2
+# lanes at MF-224, normaliser sums on the MXU) — see _fused_kernel_v7.
 FWD_VERSION = 4
 
 # stage-1 evaluation mode for the v4 forward (read at trace time like
@@ -848,6 +1016,7 @@ def _fwd_impl():
         4: _fused_fwd_pallas_v4,
         5: _fused_fwd_pallas_v5,
         6: _fused_fwd_pallas_v6,
+        7: _fused_fwd_pallas_v7,
     }[FWD_VERSION]
     if FWD_VERSION == 4 and STAGE1_MODE != "f32":
         return functools.partial(base, stage1=STAGE1_MODE)

@@ -9,6 +9,12 @@ loader's CPU-seconds/clip, and (c) the projected end-to-end rate on a
 real multi-core TPU host via min(device_rate, vcpus / cpu_sec_per_clip).
 
 Usage: python scripts/bench_eval_in_loop.py [n_videos] [frames_per_video]
+       [mode]
+
+mode: "u8" (default; TPU.DEVICE_PREPROCESS uint8 pipeline — host does
+decode+resize+crop only, the jitted step normalises on device, H2D
+ships uint8) or "f32" (round-3 host-normalised float pipeline), or
+"u8dct" (u8 + DCT-scaled decode, labeled variant).
 """
 
 import os
@@ -79,6 +85,7 @@ def make_flagship_ssv2(root, n_videos=32, n_frames=48, size=288):
 def main():
     n_videos = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    mode = sys.argv[3] if len(sys.argv) > 3 else "u8"
     root = make_flagship_ssv2(BASE, n_videos, n_frames)
 
     import __graft_entry__ as ge
@@ -102,6 +109,8 @@ def main():
     cfg.SSV2.SPLIT = "standard"
     cfg.SSV2.BOXES_FORMAT = "detectron2"
     cfg.DATA_LOADER.NUM_WORKERS = 8
+    cfg.TPU.DEVICE_PREPROCESS = mode in ("u8", "u8dct")
+    cfg.TPU.DECODE_DCT_SCALE = mode == "u8dct"
 
     model = build_model(cfg)
     loader = construct_loader(cfg, "test")
@@ -122,8 +131,11 @@ def main():
     )
     variables = random_params_like(shapes)
 
+    from focus_tpu.ops.preprocess import device_normalize
+
     @jax.jit
     def eval_step(variables, video, boxes):
+        video = device_normalize(video, cfg)
         return model.apply(variables, video, {"orvit_bboxes": boxes})
 
     eval_step(variables, video0, meta0["orvit_bboxes"]).block_until_ready()
@@ -148,10 +160,13 @@ def main():
             f"projected end-to-end @ {vcpus:>3} vCPU: {proj:7.1f} clips/s",
             flush=True,
         )
+    h2d_mb = np.asarray(sample[0]).nbytes / sample[1].shape[0] / 1e6
     print(
-        f"loader-in-the-loop eval: {n_clips / dt:.2f} clips/s over "
-        f"{n_clips} clips ({cpu_per_clip * 1000:.1f} ms CPU/clip; this "
-        f"host has {os.cpu_count()} vCPU)", flush=True,
+        f"loader-in-the-loop eval [{mode}]: {n_clips / dt:.2f} clips/s "
+        f"over {n_clips} clips ({cpu_per_clip * 1000:.1f} ms CPU/clip, "
+        f"{h2d_mb:.1f} MB H2D/clip, batch dtype "
+        f"{np.asarray(sample[0]).dtype}; this host has {os.cpu_count()} "
+        f"vCPU)", flush=True,
     )
 
 

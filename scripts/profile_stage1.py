@@ -36,7 +36,7 @@ BQ = 256
 
 
 def main():
-    modes = sys.argv[1:] or ["f32", "mxu_sum", "bf16"]
+    modes = sys.argv[1:] or ["f32", "mxu_sum", "bf16", "v7"]
     rs = np.random.RandomState(0)
     bf = jnp.bfloat16
     x = jnp.asarray(rs.randn(B, S, C) * 0.02, bf)
@@ -49,10 +49,16 @@ def main():
     for mode in modes:
         def chain(q, kf, vf, mode=mode):
             for _ in range(CHAIN):
-                q = tb._fused_fwd_pallas_v4(
-                    q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h,
-                    block_q=BQ, stage1=mode,
-                )
+                if mode == "v7":
+                    q = tb._fused_fwd_pallas_v7(
+                        q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h,
+                        block_q=BQ,
+                    )
+                else:
+                    q = tb._fused_fwd_pallas_v4(
+                        q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h,
+                        block_q=BQ, stage1=mode,
+                    )
             return q, q.mean()
 
         fj = jax.jit(chain)

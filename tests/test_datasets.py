@@ -267,3 +267,47 @@ def test_broken_dataset_module_fails_loudly(tmp_path, monkeypatch):
     # our own module broken -> raise
     with _pytest.raises(ImportError):
         ri.import_dataset_modules(("broken_ds",))
+
+
+def test_ssv2_device_preprocess_parity(ssv2_cfg):
+    """uint8 eval fast path + device-side normalize must reproduce the
+    f32 host-normalised path up to the half-ULP uint8 rounding the
+    native resize performs (|du8| <= 0.5/255/std)."""
+    from focus_tpu import native
+    from focus_tpu.datasets.build import build_dataset
+    from focus_tpu.ops.preprocess import device_normalize
+
+    if not native.available():
+        pytest.skip("native decode unavailable")
+    cfg_f32 = ssv2_cfg.clone()
+    cfg_f32.TPU.DEVICE_PREPROCESS = False
+    cfg_u8 = ssv2_cfg.clone()
+    cfg_u8.TPU.DEVICE_PREPROCESS = True
+
+    ds_f32 = build_dataset("ssv2", cfg_f32, "test")
+    ds_u8 = build_dataset("ssv2", cfg_u8, "test")
+    v_f32, _, _, meta_f32 = ds_f32[0]
+    v_u8, _, _, meta_u8 = ds_u8[0]
+    assert v_u8.dtype == np.uint8
+    assert v_f32.dtype == np.float32
+    assert v_u8.shape == v_f32.shape
+    normed = np.asarray(device_normalize(v_u8[None], cfg_u8))[0]
+    tol = 0.51 / 255.0 / min(cfg_u8.DATA.STD)
+    np.testing.assert_allclose(normed, v_f32, atol=tol)
+    np.testing.assert_allclose(
+        meta_u8["orvit_bboxes"], meta_f32["orvit_bboxes"], atol=1e-6
+    )
+
+
+def test_device_normalize_passthrough_and_tuple(ssv2_cfg):
+    from focus_tpu.ops.preprocess import device_normalize
+
+    f32 = np.zeros((1, 2, 4, 4, 3), np.float32)
+    out = device_normalize(f32, ssv2_cfg)
+    assert out.dtype == np.float32 and np.all(np.asarray(out) == 0)
+    u8 = np.full((1, 2, 4, 4, 3), 255, np.uint8)
+    slow, fast = device_normalize((u8, u8), ssv2_cfg)
+    exp = (1.0 - np.asarray(ssv2_cfg.DATA.MEAN)) / np.asarray(
+        ssv2_cfg.DATA.STD
+    )
+    np.testing.assert_allclose(np.asarray(fast)[0, 0, 0, 0], exp, rtol=1e-6)

@@ -19,7 +19,7 @@ def make_inputs(B=2, F=3, N=12, C=16, heads=4, seed=0):
     return q, kf, vf, wq2, bq2, wk2, bk2
 
 
-@pytest.mark.parametrize("version", [3, 4, 5, 6])
+@pytest.mark.parametrize("version", [3, 4, 5, 6, 7])
 def test_fused_core_matches_xla(version, monkeypatch):
     from focus_tpu.ops.pallas import trajectory_block as tb
 
@@ -96,7 +96,7 @@ def _extreme_inputs(sign, mag, B=1, F=2, N=12, C=16, heads=4, seed=7):
     return (q, kf, vf, wq2, bq2, wk2, bk2), scale
 
 
-@pytest.mark.parametrize("version", [4, 6])
+@pytest.mark.parametrize("version", [4, 6, 7])
 @pytest.mark.parametrize("sign,mag", [(-1.0, 25.0), (-1.0, 60.0), (1.0, 50.0)])
 def test_fused_core_extreme_logits(sign, mag, version, monkeypatch):
     """Strongly negative valid logits used to cancel against the pad-count

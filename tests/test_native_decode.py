@@ -63,3 +63,38 @@ def test_jpeg_dims(jpeg_files):
     if not native.available():
         pytest.skip("native decode unavailable")
     assert native.jpeg_dims(jpeg_files[0]) == (64, 48)
+
+
+def test_native_decode_u8_matches_f32(jpeg_files):
+    """uint8 output path = f32 path rounded to the nearest byte."""
+    native = pytest.importorskip("focus_tpu.native")
+    if not native.available():
+        pytest.skip("native decode unavailable")
+    f32 = native.decode_jpeg_batch(
+        jpeg_files, 32, 48, mean=(0, 0, 0), std=(1, 1, 1), scale=1.0,
+        num_threads=2,
+    )
+    u8 = native.decode_jpeg_batch_u8(jpeg_files, 32, 48, num_threads=2)
+    assert u8.dtype == np.uint8
+    np.testing.assert_allclose(
+        u8.astype(np.float32), f32, atol=0.501
+    )
+
+
+def test_native_decode_u8_dct_scale(tmp_path):
+    """DCT-scaled decode engages on >=2x downscales and stays close to
+    the full-resolution bilinear on smooth content (it is an
+    area-average + bilinear filter, not bit-identical)."""
+    native = pytest.importorskip("focus_tpu.native")
+    if not native.available():
+        pytest.skip("native decode unavailable")
+    gx, gy = np.meshgrid(np.linspace(0, 255, 512), np.linspace(0, 255, 384))
+    img = np.stack([gx, gy, (gx + gy) / 2], -1).astype(np.uint8)
+    p = str(tmp_path / "grad.jpg")
+    Image.fromarray(img).save(p, quality=95)
+    plain = native.decode_jpeg_batch_u8([p], 48, 64, num_threads=1)
+    dct = native.decode_jpeg_batch_u8([p], 48, 64, num_threads=1,
+                                      dct_scale=True)
+    assert np.abs(
+        plain.astype(np.float32) - dct.astype(np.float32)
+    ).mean() < 2.0
