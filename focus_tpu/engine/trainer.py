@@ -496,6 +496,33 @@ def eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, writer=N
         writer.plot_eval(all_preds, all_labels, global_step=cur_epoch)
 
 
+def _build_val(cfg, mesh):
+    """Val loader + matching meter (shared by initial construction and
+    the multigrid long-cycle rebuild — the reference rebuilds the whole
+    trainer incl. val loader and meters on a shape change,
+    train_net.py:653-675; our val dataset shares the mutated cfg so its
+    shapes follow the cycle, and loader batch size / meter sizing must
+    follow too)."""
+    data_sh = mesh_lib.batch_sharded(mesh)
+    val_loader = data_loader.construct_loader(cfg, "val", sharding=data_sh)
+    if cfg.DETECTION.ENABLE:
+        from focus_tpu.utils.meters import AVAMeter
+
+        val_meter = AVAMeter(
+            len(val_loader), cfg, "val",
+            video_idx_to_name=getattr(
+                val_loader.dataset, "_video_idx_to_name", None
+            ),
+        )
+    elif cfg.TRAIN.DATASET == "epickitchens":
+        from focus_tpu.utils.meters import EPICValMeter
+
+        val_meter = EPICValMeter(len(val_loader), cfg)
+    else:
+        val_meter = ValMeter(len(val_loader), cfg)
+    return val_loader, val_meter
+
+
 def _rebuild_for_long_cycle(cfg, mesh, state, cur_epoch):
     """Multigrid long-cycle shape change (reference train_net.py:653-675):
     rebuild the model (BN type per the schedule — the redesigned
@@ -540,7 +567,7 @@ def train(cfg):
     model = build_model(cfg)
     data_sh = mesh_lib.batch_sharded(mesh)
     train_loader = data_loader.construct_loader(cfg, "train", sharding=data_sh)
-    val_loader = data_loader.construct_loader(cfg, "val", sharding=data_sh)
+    val_loader, val_meter = _build_val(cfg, mesh)
 
     sample = next(iter(train_loader))
     state = build_supervised_state(cfg, model, mesh, sample, len(train_loader))
@@ -572,21 +599,6 @@ def train(cfg):
     base_rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
     train_meter = TrainMeter(len(train_loader), cfg)
-    if cfg.DETECTION.ENABLE:
-        from focus_tpu.utils.meters import AVAMeter
-
-        val_meter = AVAMeter(
-            len(val_loader), cfg, "val",
-            video_idx_to_name=getattr(
-                val_loader.dataset, "_video_idx_to_name", None
-            ),
-        )
-    elif cfg.TRAIN.DATASET == "epickitchens":
-        from focus_tpu.utils.meters import EPICValMeter
-
-        val_meter = EPICValMeter(len(val_loader), cfg)
-    else:
-        val_meter = ValMeter(len(val_loader), cfg)
     writer = TensorboardWriter(cfg) if jax.process_index() == 0 else None
     from focus_tpu.utils.profiler import StepProfiler
 
@@ -646,6 +658,8 @@ def _train_epochs(cfg, mesh, model, state, train_loader, val_loader,
                 )
                 eval_step = make_supervised_eval_step(model, cfg, mesh)
                 train_meter = TrainMeter(len(train_loader), cfg)
+                val_loader.close()
+                val_loader, val_meter = _build_val(cfg, mesh)
         data_loader.shuffle_dataset(train_loader, cur_epoch)
         epoch_timer.epoch_tic()
         state = train_epoch(

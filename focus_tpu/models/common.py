@@ -150,16 +150,28 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, causal: bool = False, valid_len=None,
-                 deterministic: bool = True, cache=None):
-        B, T, _ = q.shape
+                 deterministic: bool = True, cache=None,
+                 precomputed_kv=None, project_kv_only: bool = False):
         h = self.num_heads
         hd = self.d_model // h
         proj = lambda name, gain: Dense(
             self.d_model, use_bias=False, gain=gain, dtype=self.dtype, name=name
         )
+        if project_kv_only:
+            # hoisted cross-attention K/V: callers with a rollout-constant
+            # key set (the slots during AR decode) project it ONCE and
+            # feed the result back per step via ``precomputed_kv`` — the
+            # per-step math is unchanged, the 2 matmuls leave the scan
+            kh = proj("proj_k", 1.0)(k).reshape(k.shape[0], k.shape[1], h, hd)
+            vh = proj("proj_v", 1.0)(v).reshape(v.shape[0], v.shape[1], h, hd)
+            return kh, vh
+        B, T, _ = q.shape
         qh = proj("proj_q", 1.0)(q).reshape(B, T, h, hd)
-        kh = proj("proj_k", 1.0)(k).reshape(B, k.shape[1], h, hd)
-        vh = proj("proj_v", 1.0)(v).reshape(B, v.shape[1], h, hd)
+        if precomputed_kv is not None:
+            kh, vh = precomputed_kv
+        else:
+            kh = proj("proj_k", 1.0)(k).reshape(B, k.shape[1], h, hd)
+            vh = proj("proj_v", 1.0)(v).reshape(B, v.shape[1], h, hd)
 
         if cache is not None:
             # incremental decode: q/k/v are the single token at traced
@@ -293,7 +305,14 @@ class TransformerDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc_out, valid_len=None, deterministic: bool = True,
-                 cache=None):
+                 cache=None, cross_kv=None, project_kv_only: bool = False):
+        cross_attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout, self.gain,
+            dtype=self.dtype, name="encoder_decoder_attn",
+        )
+        if project_kv_only:
+            return cross_attn(enc_out, enc_out, enc_out,
+                              project_kv_only=True)
         self_attn = MultiHeadAttention(
             self.d_model, self.num_heads, self.dropout, self.gain,
             dtype=self.dtype, name="self_attn",
@@ -320,10 +339,8 @@ class TransformerDecoderBlock(nn.Module):
             x = x + self_attn(y, y, y, causal=True, valid_len=valid_len,
                               deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, name="encoder_decoder_attn_layer_norm")(x)
-        x = x + MultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout, self.gain,
-            dtype=self.dtype, name="encoder_decoder_attn",
-        )(y, enc_out, enc_out, deterministic=deterministic)
+        x = x + cross_attn(y, enc_out, enc_out, deterministic=deterministic,
+                           precomputed_kv=cross_kv)
         y = nn.LayerNorm(dtype=self.dtype, name="ffn_layer_norm")(x)
         y = FFN(self.d_model, self.dropout, self.gain, dtype=self.dtype, name="ffn")(
             y, deterministic=deterministic
@@ -345,22 +362,30 @@ class TransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc_out, valid_len=None, deterministic: bool = True,
-                 caches=None, t=None):
+                 caches=None, t=None, cross_kvs=None,
+                 project_kv_only: bool = False):
         gain = (3 * self.num_blocks) ** -0.5 if self.num_blocks > 0 else 1.0
         new_caches = []
+        outs = []
         for i in range(self.num_blocks):
             blk = TransformerDecoderBlock(
                 self.d_model, self.num_heads, self.dropout, gain,
                 is_first=(i == 0), dtype=self.dtype, name=f"blocks_{i}",
             )
-            if caches is not None:
+            if project_kv_only:
+                outs.append(blk(x, enc_out, project_kv_only=True))
+            elif caches is not None:
                 k_c, v_c = caches[i]
                 x, nc = blk(x, enc_out, deterministic=deterministic,
-                            cache=(k_c, v_c, t))
+                            cache=(k_c, v_c, t),
+                            cross_kv=None if cross_kvs is None
+                            else cross_kvs[i])
                 new_caches.append(nc)
             else:
                 x = blk(x, enc_out, valid_len=valid_len,
                         deterministic=deterministic)
+        if project_kv_only:
+            return tuple(outs)
         out = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
         if caches is not None:
             return out, tuple(new_caches)

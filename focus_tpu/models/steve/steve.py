@@ -330,11 +330,20 @@ class STEVE(nn.Module):
              jnp.zeros((B, L, h, hd), slots.dtype))
             for _ in range(nb)
         )
+        # slots are constant through the rollout: project each layer's
+        # cross-attention K/V ONCE here instead of 2*nb matmuls per scan
+        # step (~half the rollout's matmul FLOPs at the default decoder
+        # width; the per-step math is unchanged)
+        cross_kvs = self.steve_decoder.tf(
+            bos, slots, project_kv_only=True
+        )
 
         def step(mdl, carry, t):
             x_t, caches = carry
             x = mdl.steve_decoder.pos.at(x_t, t)
-            out, caches = mdl.steve_decoder.tf(x, slots, caches=caches, t=t)
+            out, caches = mdl.steve_decoder.tf(
+                x, slots, caches=caches, t=t, cross_kvs=cross_kvs
+            )
             logits = mdl.steve_decoder.head(out)
             z_id = jnp.argmax(logits, axis=-1)  # [B, 1]
             emb = mdl.steve_decoder.dict_emb(z_id).astype(x_t.dtype)

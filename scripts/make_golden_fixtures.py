@@ -456,6 +456,87 @@ def gen_motionformer_full():
          out_noun=both["noun"].numpy(), **_sd_to_np(mod))
 
 
+def _mf_flagship_cfg():
+    """The REAL ORViT-MF SSv2 flagship shape
+    (configs/ORViT/SSv2_ORViT-MF_224_16x4.yaml): 768-d, 12 layers,
+    12 heads, patch 16 on a 224 crop (full 14x14 grid + separate
+    pos-embed tiling at scale), ORViT at [1,6,10], 174 classes."""
+    cfg = _repo_cfg()
+    cfg.MODEL.MODEL_NAME = "Motionformer"
+    cfg.MODEL.NUM_CLASSES = 174
+    cfg.TRAIN.DATASET = "ssv2"
+    cfg.DATA.NUM_FRAMES = 16
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.MF.PATCH_SIZE = 16
+    cfg.MF.PATCH_SIZE_TEMP = 2
+    cfg.MF.EMBED_DIM = 768
+    cfg.MF.DEPTH = 12
+    cfg.MF.NUM_HEADS = 12
+    cfg.MF.MLP_RATIO = 4
+    cfg.MF.QKV_BIAS = True
+    cfg.MF.TEMPORAL_RESOLUTION = 8
+    cfg.MF.USE_MLP = True
+    cfg.ORVIT.LAYERS = [1, 6, 10]
+    cfg.ORVIT.ENABLE = True
+    cfg.ORVIT.O = 4
+    return cfg
+
+
+def gen_motionformer_flagship():
+    """Round-4 verdict #5: one golden from the executed reference at the
+    REAL flagship shape (reference video_model_builder.py:1103-1353 at
+    768-d/12-layer scale — full-size pos-embed tiling, real patch grid,
+    head MLP at width). The ~110M random weights are NOT stored: the
+    fixture carries (seed, scale, ordered param names+shapes) and both
+    sides regenerate the identical torch.randn stream — the npz stays
+    ~3 MB instead of ~440."""
+    import json
+
+    from slowfast.models.video_model_builder import Motionformer
+
+    seed, scale = 42, 0.02
+    rs = np.random.RandomState(seed)
+    video_u8 = rs.randint(0, 256, (1, 3, 16, 224, 224), dtype=np.uint8)
+    video = (video_u8 / 255.0).astype(np.float32)
+    boxes = (rs.rand(1, 8, 4, 4) * 0.4 + 0.2).astype(np.float32)
+
+    mod = Motionformer(_mf_flagship_cfg())
+    torch.manual_seed(seed)
+    entries = []
+    with torch.no_grad():
+        for name, p in mod.named_parameters():
+            p.copy_(torch.randn_like(p) * scale)
+            entries.append((name, list(p.shape)))
+    mod.eval()
+
+    # self-check: the reconstruction recipe the test uses reproduces the
+    # exact weights the module executed with
+    torch.manual_seed(seed)
+    for name, shape in entries[:5]:
+        v = torch.randn(shape) * scale
+        assert torch.equal(v, dict(mod.named_parameters())[name].data), name
+
+    # re-randomize properly (the self-check consumed RNG; re-copy all)
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for name, p in mod.named_parameters():
+            p.copy_(torch.randn_like(p) * scale)
+
+    with torch.no_grad():
+        out = mod(
+            [torch.from_numpy(video)],
+            {"orvit_bboxes": torch.from_numpy(boxes)},
+        )
+    save(
+        "orvit_mf_flagship",
+        video_u8=video_u8, boxes=boxes, out=out.numpy(),
+        param_list=np.frombuffer(
+            json.dumps(entries).encode(), np.uint8
+        ).copy(),
+        seed=np.int64(seed), scale=np.float64(scale),
+    )
+
+
 def gen_mvit_full():
     """Full reference MViT forward (video_model_builder.py:765-1100) at
     a tiny config with one pooling stage + dim/head expansion."""
@@ -737,6 +818,9 @@ def gen_conv_full():
 
 def main():
     _install_stubs()
+    if "--flagship-only" in sys.argv:
+        gen_motionformer_flagship()
+        return
     gen_trajectory_attention()
     gen_layout()
     gen_slot_attention()
@@ -745,6 +829,8 @@ def main():
     gen_multiscale_attention()
     gen_orvit_block()
     gen_motionformer_full()
+    if "--flagship" in sys.argv or "--all" in sys.argv:
+        gen_motionformer_flagship()
     gen_mvit_full()
     gen_steve_full()
     gen_conv_full()

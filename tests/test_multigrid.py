@@ -130,7 +130,8 @@ def test_long_cycle_epoch_loop_wiring(tmp_path, monkeypatch):
     cfg.MULTIGRID.EPOCH_FACTOR = 1.0
     cfg.MULTIGRID.LONG_CYCLE_FACTORS = [[0.5, 0.5], [1.0, 1.0]]
     cfg.MULTIGRID.BN_BASE_SIZE = 1
-    cfg.TRAIN.EVAL_PERIOD = 100
+    cfg.TRAIN.EVAL_PERIOD = 1  # eval every epoch: exercises the val
+    # loader/meter rebuild across long-cycle shape changes
     cfg.TRAIN.CHECKPOINT_PERIOD = 100
     cfg.TRAIN.AUTO_RESUME = False
     cfg.BN.USE_PRECISE_STATS = False
@@ -154,8 +155,27 @@ def test_long_cycle_epoch_loop_wiring(tmp_path, monkeypatch):
             base_rng, **kw,
         )
 
+    val_seen = []  # (epoch, loader_len, meter_max_iter, val batch B)
+    real_eval_epoch = trainer_mod.eval_epoch
+
+    def spy_eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch,
+                       cfg_, writer=None):
+        batch = next(iter(val_loader))
+        video = batch[0][0] if isinstance(batch[0], (tuple, list)) else batch[0]
+        val_seen.append(
+            (cur_epoch, len(val_loader), val_meter.max_iter, video.shape[0])
+        )
+        return real_eval_epoch(val_loader, state, eval_step, val_meter,
+                               cur_epoch, cfg_, writer=writer)
+
     monkeypatch.setattr(trainer_mod, "train_epoch", spy_train_epoch)
+    monkeypatch.setattr(trainer_mod, "eval_epoch", spy_eval_epoch)
     trainer_mod.train(cfg)
+
+    # the val meter is rebuilt with the val loader on every long-cycle
+    # change (reference train_net.py:653-675 rebuilds the whole trainer):
+    # its sizing must always match the loader it runs over
+    assert val_seen and all(ln == mi for _, ln, mi, _ in val_seen), val_seen
 
     shapes = {(b, t, s) for _, b, t, s in seen}
     assert len(shapes) >= 2, f"shapes never cycled: {seen}"
