@@ -1118,7 +1118,8 @@ def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
                       dq_ref, dk_ref, dv_ref, dwq2_ref, dbq2_ref, dwk2_ref,
                       xs_ref, a_ref, dxs_ref, diag_ref, dz_ref, g_ref, *,
-                      scale, n_valid, f, h, bq, skip_b=False, skip_c=False):
+                      scale, n_valid, f, h, bq, skip_b=False, skip_c=False,
+                      stage1="f32"):
     """Backward of the fused trajectory core, entirely in VMEM.
 
     Grid (b, q_block), both sequential; frames loop inside the cell. The
@@ -1173,7 +1174,15 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
             q_ref[0, :, sl], k_ref[0, :, sl],
             (((1,), (1,)), ((), ())), preferred_element_type=f32,
         )  # [BQ, F*N_pad]
-        pu = jnp.exp2(jnp.minimum(logits * c, 110.0))
+        if stage1 == "bf16":
+            # labeled variant (round-4 verdict #8): the recompute's
+            # multiply+exp2 sweep at bf16 — the backward analogue of the
+            # forward's "bf16" stage-1 mode (a numerics change:
+            # recomputed weights round at ~2^-9)
+            lp = logits.astype(jnp.bfloat16) * jnp.bfloat16(c)
+            pu = jnp.exp2(jnp.minimum(lp, jnp.bfloat16(110.0))).astype(f32)
+        else:
+            pu = jnp.exp2(jnp.minimum(logits * c, 110.0))
         for fi in range(f):
             puf = pu[:, fi * n_pad:(fi + 1) * n_pad]
             # valid-column slice-sum, matching the forward (see v3 kernel)
@@ -1326,7 +1335,8 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
 
 def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
                       block_q: int = 256, interpret: bool = False,
-                      skip_b: bool = False, skip_c: bool = False):
+                      skip_b: bool = False, skip_c: bool = False,
+                      stage1: str = "f32"):
     """Pallas backward wrapper. Returns (dq, dkf, dvf, dwq2, dbq2, dwk2)
     in the primal dtypes."""
     from jax.experimental.pallas import tpu as pltpu
@@ -1360,7 +1370,7 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
     outs = pl.pallas_call(
         functools.partial(
             _fused_bwd_kernel, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
-            skip_b=skip_b, skip_c=skip_c,
+            skip_b=skip_b, skip_c=skip_c, stage1=stage1,
         ),
         grid=grid,
         in_specs=[
@@ -1409,13 +1419,18 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
 
 # backward implementation selector (A/B measurable like KERNEL_FLAGS)
 BWD_USE_PALLAS = True
+# stage-1 recompute precision in the backward's pass A ("f32" shipped;
+# "bf16" = labeled variant, round-4 verdict #8 — measured via
+# scripts/profile_train.py bwd_bf16)
+BWD_STAGE1 = "f32"
 
 
 def _fused_bwd(scale, heads, interpret, res, g):
     q, kf, vf, wq2, bq2, wk2, bk2 = res
     if BWD_USE_PALLAS:
         dq, dk, dv, dwq2, dbq2, dwk2 = _fused_bwd_pallas(
-            q, kf, vf, wq2, bq2, wk2, g, scale, heads, interpret=interpret
+            q, kf, vf, wq2, bq2, wk2, g, scale, heads, interpret=interpret,
+            stage1=BWD_STAGE1,
         )
         return dq, dk, dv, dwq2, dbq2, dwk2, jnp.zeros_like(bk2)
     _, vjp = jax.vjp(

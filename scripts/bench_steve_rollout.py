@@ -3,7 +3,11 @@ protocol (the round-2 111 fps was measured with per-dispatch
 block_until_ready, which the relay does not honor).
 
 Shape: movi_e/base defaults — 64 px (gen_len 256), B=8, T=4, bf16.
-Usage: python scripts/bench_steve_rollout.py [kv|full ...]
+Usage: python scripts/bench_steve_rollout.py [kv|full ...] [B=n]
+
+B=n overrides the video batch (rollout batch = 4n): the AR scan is
+latency-bound per step, so fps scales with batch until the per-step
+matmuls saturate the MXU — the serving lever the SOL note quantifies.
 """
 
 import os
@@ -29,7 +33,11 @@ B, T = 8, 4
 
 
 def main():
-    parts = sys.argv[1:] or ["kv"]
+    global B
+    parts = [a for a in sys.argv[1:] if not a.startswith("B=")] or ["kv"]
+    for a in sys.argv[1:]:
+        if a.startswith("B="):
+            B = int(a[2:])
     cfg = get_cfg()
     cfg.MODEL.MODEL_NAME = "STEVE"
     cfg.MODEL.CNN_NAME = "base"
@@ -83,7 +91,7 @@ def main():
             f"{frames / dt:.1f} fps",
             flush=True,
         )
-        if kv:
+        if kv and B == 8:  # the tracked companion keeps the protocol shape
             from bench import record_companion
 
             record_companion(

@@ -43,6 +43,12 @@ def run_variant(name):
         cfg.TPU.REMAT = True
     if name == "fastgelu":
         cfg.TPU.FAST_GELU = True
+    if name == "bwd_bf16":
+        # labeled variant (round-4 verdict #8): backward pass-A
+        # recompute sweeps multiply+exp2 at bf16
+        from focus_tpu.ops.pallas import trajectory_block as tb
+
+        tb.BWD_STAGE1 = "bf16"
     if name == "pallas_b16r":
         B = 16
         cfg.TPU.REMAT = True

@@ -275,3 +275,61 @@ def test_fast_gelu_delta_bounded():
     out = _import_and_apply(cfg, sd, video, meta)
     delta = np.abs(np.asarray(out) - d["out"]).max()
     assert delta < 5e-3, delta
+
+
+def mf_flagship_cfg():
+    """Mirror of scripts/make_golden_fixtures._mf_flagship_cfg — the
+    real ORViT-MF SSv2 flagship shape (768-d, 12 layers, ORViT at
+    [1,6,10], full 14x14 grid, 174 classes)."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "Motionformer"
+    cfg.MODEL.NUM_CLASSES = 174
+    cfg.TRAIN.DATASET = "ssv2"
+    cfg.DATA.NUM_FRAMES = 16
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.MF.PATCH_SIZE = 16
+    cfg.MF.PATCH_SIZE_TEMP = 2
+    cfg.MF.EMBED_DIM = 768
+    cfg.MF.DEPTH = 12
+    cfg.MF.NUM_HEADS = 12
+    cfg.MF.MLP_RATIO = 4
+    cfg.MF.QKV_BIAS = True
+    cfg.MF.TEMPORAL_RESOLUTION = 8
+    cfg.MF.USE_MLP = True
+    cfg.ORVIT.LAYERS = [1, 6, 10]
+    cfg.ORVIT.ENABLE = True
+    cfg.ORVIT.O = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+@pytest.mark.slow
+def test_orvit_mf_flagship_golden():
+    """Round-4 verdict #5: the executed reference at the REAL flagship
+    shape (reference video_model_builder.py:1103-1353 at 768-d/12-layer
+    scale). Weights are regenerated from the recorded torch.randn stream
+    (seed + ordered names/shapes in the fixture) — identical to the
+    tensors the reference executed with, without storing ~440 MB."""
+    import json
+
+    import torch
+
+    d, _ = load("orvit_mf_flagship")
+    entries = json.loads(bytes(d["param_list"].astype(np.uint8)).decode())
+    torch.manual_seed(int(d["seed"]))
+    scale = float(d["scale"])
+    sd = {}
+    for name, shape in entries:
+        sd[name] = (torch.randn(shape) * scale).numpy()
+    video = (
+        d["video_u8"].astype(np.float32) / 255.0
+    ).transpose(0, 2, 3, 4, 1)  # [B,C,T,H,W] -> [B,T,H,W,C]
+    meta = {"orvit_bboxes": jnp.asarray(d["boxes"])}
+    out = _import_and_apply(mf_flagship_cfg(), sd, video, meta)
+    # post-softmax probabilities over 174 classes at f32 through 12
+    # 768-d blocks: framework accumulation-order differences bound well
+    # under 1e-4
+    np.testing.assert_allclose(np.asarray(out), d["out"], atol=5e-4)
+    np.testing.assert_array_equal(
+        np.asarray(out).argmax(-1), d["out"].argmax(-1)
+    )

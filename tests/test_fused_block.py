@@ -251,3 +251,25 @@ def test_fused_core_v4_stage1_variants_extreme(mode, sign, mag):
     assert np.isfinite(np.asarray(out)).all()
     atol = 5e-4 if mode == "mxu_sum" else 5e-2
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=atol)
+
+
+def test_fused_bwd_stage1_bf16_variant(monkeypatch):
+    """BWD_STAGE1='bf16' (labeled variant): gradients must stay finite
+    and track the f32 vjp at bf16-rounding tolerance."""
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    args = make_inputs(seed=5)
+    heads = 4
+    scale = (16 // heads) ** -0.5
+
+    def loss(*a):
+        return (tb.fused_trajectory_core(*a, scale, heads, True) ** 2).sum()
+
+    g_ref = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    monkeypatch.setattr(tb, "BWD_STAGE1", "bf16")
+    g_b16 = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_ref, g_b16):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-2, rtol=2e-2
+        )
