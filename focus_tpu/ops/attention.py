@@ -110,14 +110,31 @@ def temporal_stage_k2w(q2, wk2, xs, f: int, scale: float, h: int):
 
 def cls_attention(cls_q, k, v, scale: float):
     """CLS token attends over everything (reference attention.py:512-519).
-    cls_q: [BH, 1, d], k/v: [BH, N, d] -> [BH, 1, d]."""
-    logits = jnp.einsum(
-        "bqd,bkd->bqk", cls_q * scale, k, preferred_element_type=jnp.float32
+    cls_q: [BH, 1, d], k/v: [BH, N, d] -> [BH, 1, d].
+
+    The single query row is padded to 8 rows so both contractions take
+    the MXU path: XLA lowers an M=1 dot as a VPU multiply-reduce, whose
+    f32 accumulation materialises full f32 upcasts (and transposed
+    copies) of k AND v — ~0.5 ms/block at MF-224 for one query row
+    (round-4 trace ledger). The 8 redundant rows are identical and cost
+    ~nothing on the MXU; attention weights are applied at the kv dtype,
+    the same weight-rounding class as the fused kernel's PV product
+    (f32 compute stays exact: astype(k.dtype) is the identity there).
+    """
+    BH, _, d = cls_q.shape
+    qs = (cls_q * scale).astype(cls_q.dtype)
+    q8 = jnp.broadcast_to(qs, (BH, 8, d))
+    logits = jax.lax.dot_general(
+        q8, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [BH, 8, N]
+    attn = jax.nn.softmax(logits[:, :1], axis=-1)
+    attn8 = jnp.broadcast_to(attn.astype(k.dtype), (BH, 8, attn.shape[-1]))
+    out = jax.lax.dot_general(
+        attn8, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
-    attn = jax.nn.softmax(logits, axis=-1).astype(cls_q.dtype)
-    return jnp.einsum(
-        "bqk,bkd->bqd", attn, v, preferred_element_type=jnp.float32
-    ).astype(cls_q.dtype)
+    return out[:, :1].astype(cls_q.dtype)
 
 
 def joint_attention(q, k, v, scale: float):

@@ -226,9 +226,9 @@ def _fused_kernel_v3(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
 
 
 def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
-                     o_ref, xs_ref, diag_ref, *, scale, n_valid, f, h, bq,
+                     o_ref, xs_ref, diag_ref, *pads, scale, n_valid, f, h, bq,
                      skip_stage2=False, stage2_k2mm=False,
-                     prescale_q=False, stage1="f32"):
+                     prescale_q=False, stage1="f32", dense_kv=False):
     """v4: stage-1 QK batched across frames.
 
     v3's grid is (b, q_block, frame) with one [BQ, hd] x [hd, N] matmul
@@ -246,9 +246,41 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
     """
     C = q_ref.shape[-1]
     hd = C // h
-    n_pad = k_ref.shape[1] // f
     qi = pl.program_id(1)
     c = scale * _LOG2E
+
+    if dense_kv:
+        # round-4 trace finding: the wrapper-side HBM pad (196 -> 256
+        # rows per frame) + its layout copies cost ~5-7 ms/step at
+        # MF-224 (BENCH_NOTES round 4 trace ledger). Here k/v arrive
+        # DENSE ([1, F*N, C]) and the padded layout is built once per
+        # batch row in VMEM scratch — the q-block grid reuses it.
+        kp_ref, vp_ref = pads
+        n_pad = kp_ref.shape[0] // f
+
+        @pl.when(qi == 0)
+        def _build_padded_kv():
+            kp_ref[...] = jnp.zeros_like(kp_ref)
+            vp_ref[...] = jnp.zeros_like(vp_ref)
+            for fi in range(f):
+                rows_dst = slice(fi * n_pad, fi * n_pad + n_valid)
+                rows_src = slice(fi * n_valid, (fi + 1) * n_valid)
+                kp_ref[rows_dst] = k_ref[0, rows_src]
+                vp_ref[rows_dst] = v_ref[0, rows_src]
+
+        def kread(rows, cols):
+            return kp_ref[rows, cols]
+
+        def vread(rows, cols):
+            return vp_ref[rows, cols]
+    else:
+        n_pad = k_ref.shape[1] // f
+
+        def kread(rows, cols):
+            return k_ref[0, rows, cols]
+
+        def vread(rows, cols):
+            return v_ref[0, rows, cols]
 
     tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
     fq = tok // n_valid
@@ -280,7 +312,7 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
             #    softmax logits round to ~2^-9 absolute, a numerics
             #    change beyond bf16-class (serving-variant only).
             logits = jax.lax.dot_general(
-                q_ref[0, :, sl], k_ref[0, :, sl],
+                q_ref[0, :, sl], kread(slice(None), sl),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [BQ, F*N_pad]
@@ -303,7 +335,7 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
             for fi in range(f):
                 o = jax.lax.dot_general(
                     pb[:, fi * n_pad:(fi + 1) * n_pad],
-                    v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
+                    vread(slice(fi * n_pad, (fi + 1) * n_pad), sl),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -319,13 +351,13 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
             # kernel inputs themselves
             qs = q_ref[0, :, sl] * jnp.asarray(c, q_ref.dtype)
             logits = jax.lax.dot_general(
-                qs, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                qs, kread(slice(None), sl), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             p = jnp.exp2(jnp.minimum(logits, 110.0))
         else:
             logits = jax.lax.dot_general(
-                q_ref[0, :, sl], k_ref[0, :, sl],
+                q_ref[0, :, sl], kread(slice(None), sl),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [BQ, F*N_pad]
@@ -338,7 +370,7 @@ def _fused_kernel_v4(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, bk2_ref,
             )
             o = jax.lax.dot_general(
                 pf.astype(v_ref.dtype),
-                v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
+                vread(slice(fi * n_pad, (fi + 1) * n_pad), sl),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -421,19 +453,27 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
                          skip_stage2: bool = False,
                          stage2_k2mm: bool = False,
                          prescale_q: bool = False,
-                         stage1: str = "f32"):
-    """v4 wrapper: grid (b, q_block); keys/values frame-concatenated."""
+                         stage1: str = "f32",
+                         dense_kv: bool = False):
+    """v4 wrapper: grid (b, q_block); keys/values frame-concatenated.
+
+    dense_kv: ship k/v to the kernel UNPADDED ([B, F*N, C]) and build
+    the lane-aligned padded layout in VMEM scratch once per batch row —
+    removes the per-layer HBM pad+copy of two [B, F*256, C] buffers
+    (round-4 trace ledger: ~5-7 ms/step at MF-224).
+    """
     from jax.experimental.pallas import tpu as pltpu
 
     B, S, C = q.shape
     F, N = kf.shape[1], kf.shape[2]
     n_pad = _round_up(N, 128)
-    if n_pad != N:
+    if not dense_kv and n_pad != N:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
-    kf2 = kf.reshape(B, F * n_pad, C)
-    vf2 = vf.reshape(B, F * n_pad, C)
+    n_rows = N if dense_kv else n_pad
+    kf2 = kf.reshape(B, F * n_rows, C)
+    vf2 = vf.reshape(B, F * n_rows, C)
     bq = min(block_q, _round_up(S, 8))
     s_pad = _round_up(S, bq)
     if s_pad != S:
@@ -441,18 +481,27 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
     bq2_2d = bq2.reshape(1, C)
     bk2_2d = bk2.reshape(1, C)
 
+    scratch = [
+        pltpu.VMEM((F, bq, C), q.dtype),
+        pltpu.VMEM((bq, C), q.dtype),
+    ]
+    if dense_kv:
+        scratch += [
+            pltpu.VMEM((F * n_pad, C), kf.dtype),
+            pltpu.VMEM((F * n_pad, C), vf.dtype),
+        ]
     grid = (B, s_pad // bq)
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel_v4, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
             skip_stage2=skip_stage2, stage2_k2mm=stage2_k2mm,
-            prescale_q=prescale_q, stage1=stage1,
+            prescale_q=prescale_q, stage1=stage1, dense_kv=dense_kv,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_rows, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_rows, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
             pl.BlockSpec((1, C), lambda b, i: (0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
@@ -460,12 +509,14 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
         ],
         out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, s_pad, C), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((F, bq, C), q.dtype),
-            pltpu.VMEM((bq, C), q.dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # the per-b scratch build (dense_kv) relies on qi==0 running
+            # first within each batch row — sequential semantics, like
+            # v6's per-b k2v scratch
+            dimension_semantics=(
+                ("arbitrary" if dense_kv else "parallel"), "arbitrary"
+            ),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -1010,6 +1061,15 @@ FWD_VERSION = 4
 STAGE1_MODE = "f32"
 
 
+# v4 dense-operand mode: k/v enter the kernel unpadded, the padded
+# layout is built in VMEM scratch (kills the per-layer HBM pad+copy —
+# round-4 trace ledger). Full-model A/B (scripts/bench_dense_kv.py,
+# 2026-08-21): 119.90 -> 124.76 erf clips/s (+4.1%). Default ON;
+# numerics are bit-identical (same kernel math, operands staged in
+# VMEM instead of HBM).
+V4_DENSE_KV = True
+
+
 def _fwd_impl():
     base = {
         3: _fused_fwd_pallas,
@@ -1018,8 +1078,10 @@ def _fwd_impl():
         6: _fused_fwd_pallas_v6,
         7: _fused_fwd_pallas_v7,
     }[FWD_VERSION]
-    if FWD_VERSION == 4 and STAGE1_MODE != "f32":
-        return functools.partial(base, stage1=STAGE1_MODE)
+    if FWD_VERSION == 4 and (STAGE1_MODE != "f32" or V4_DENSE_KV):
+        return functools.partial(
+            base, stage1=STAGE1_MODE, dense_kv=V4_DENSE_KV
+        )
     return base
 
 

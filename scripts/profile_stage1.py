@@ -54,6 +54,11 @@ def main():
                         q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h,
                         block_q=BQ,
                     )
+                elif mode == "dense":
+                    q = tb._fused_fwd_pallas_v4(
+                        q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h,
+                        block_q=BQ, dense_kv=True,
+                    )
                 else:
                     q = tb._fused_fwd_pallas_v4(
                         q, kf, vf, w_cc, b_c, w_cc, b_c, scale, h,

@@ -47,9 +47,37 @@ def main():
         total = sum(tot.values())
         print(f"PLANE {p.name}  accounted {total/steps:.1f} ms/step "
               f"(overlaps double-count; while bodies nest)")
-        for k, v in items[:40]:
+        topn = int(os.environ.get("TRACE_TOP", "40"))
+        for k, v in items[:topn]:
             print(f"{v/steps:9.3f} ms/step x{cnt[k]//steps:5d}  {k[:60]:60s}"
                   f"  {meta.get(k, '')[:110]}")
+        # category rollup (while bodies excluded — their children are
+        # separately attributed)
+        import re
+
+        buckets = {
+            "while(container)": r"^%while",
+            "traj kernel": r"^%attn\.",
+            "patch kernel": r"patch_embed",
+            "matmul fused": r"convolution",
+            "residual add": r"add_add_fusion",
+            "fc2+copy": r"copy_add_fusion",
+            "layout copy": r"^%copy",
+            "pad": r"^%pad",
+            "bitcast/reshape": r"bitcast|reshape|transpose",
+            "reduce/LN": r"reduce|fusion\.1[45]",
+        }
+        agg = {}
+        for k, v in tot.items():
+            for b, pat in buckets.items():
+                if re.search(pat, k):
+                    agg[b] = agg.get(b, 0.0) + v
+                    break
+            else:
+                agg["other"] = agg.get("other", 0.0) + v
+        print("---- category rollup (ms/step) ----")
+        for b, v in sorted(agg.items(), key=lambda kv: -kv[1]):
+            print(f"{v/steps:9.3f}  {b}")
 
 
 if __name__ == "__main__":

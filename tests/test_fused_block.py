@@ -273,3 +273,30 @@ def test_fused_bwd_stage1_bf16_variant(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=3e-2, rtol=2e-2
         )
+
+
+def test_fused_core_v4_dense_kv_matches_xla():
+    """dense_kv mode (k/v unpadded, VMEM-scratch padding) must be exact
+    vs the padded wrapper's numerics."""
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    args = make_inputs(seed=6)
+    heads = 4
+    scale = (16 // heads) ** -0.5
+    ref = tb._xla_reference(*args, scale, heads)
+    out = tb._fused_fwd_pallas_v4(*args, scale, heads, interpret=True,
+                                  dense_kv=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("sign,mag", [(-1.0, 25.0), (1.0, 50.0)])
+def test_fused_core_v4_dense_kv_extreme(sign, mag):
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    args, scale = _extreme_inputs(sign, mag)
+    heads = 4
+    ref = tb._xla_reference(*args, scale, heads)
+    out = tb._fused_fwd_pallas_v4(*args, scale, heads, interpret=True,
+                                  dense_kv=True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
