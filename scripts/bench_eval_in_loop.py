@@ -153,7 +153,7 @@ def main():
     dt = time.perf_counter() - t0
     cpu_dt = time.process_time() - cpu0
     cpu_per_clip = cpu_dt / n_clips
-    device_rate = 110.0  # device-resident erf-gelu bench (BENCH_NOTES r3)
+    device_rate = 132.0  # device-resident erf-gelu bench (BENCH_NOTES r4)
     for vcpus in (1, 8, 100, 200):
         proj = min(device_rate, vcpus / cpu_per_clip)
         print(
