@@ -415,3 +415,72 @@ def test_wrong_prediction_vis_end_to_end(tmp_path):
 
     events = glob.glob(os.path.join(str(tmp_path), "runs-*", "events.*"))
     assert events and os.path.getsize(events[0]) > 1000
+
+
+def test_thread_video_manager_ordered_writer(tmp_path):
+    """Round-4 verdict #10: the writer thread must emit tasks strictly
+    in input order even when the predictor completes them OUT of order
+    and the writer is slow — the reference's ThreadVideoManager
+    get-id/put-id contract (demo_loader.py:147-331). DEMO.BUFFER_SIZE
+    sets the frame overlap between consecutive clips (overlapping
+    frames are written once); unlike the reference there is no
+    DEMO.THREAD_ENABLE knob — the threaded manager is always used for
+    file/live output."""
+    import time as _time
+
+    cv2 = pytest.importorskip("cv2")
+    from focus_tpu.config import get_cfg
+    from focus_tpu.engine.demo import ThreadVideoManager
+
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+    for i in range(24):
+        w.write(np.full((32, 32, 3), i * 10, np.uint8))
+    w.release()
+
+    cfg = get_cfg()
+    cfg.DEMO.INPUT_VIDEO = vid
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out.mp4")
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2  # seq_length 8 -> 3 tasks over 24 frames
+    cfg.DEMO.BUFFER_SIZE = 0
+    cfg.DEMO.NUM_CLIPS_SKIP = 0
+
+    mgr = ThreadVideoManager(cfg)
+
+    class SlowRecorder:
+        def __init__(self):
+            self.rows = []
+
+        def write(self, frame):
+            _time.sleep(0.01)  # simulated slow writer
+            self.rows.append(int(frame[0, 0, 0]))
+
+        def release(self):
+            pass
+
+    rec = SlowRecorder()
+    mgr.writer = rec
+    mgr.start()
+
+    tasks = []
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        ok, task = next(mgr)
+        if task is not None:
+            tasks.append(task)
+        if not ok and task is None:
+            break
+    assert len(tasks) >= 2
+    # complete tasks in REVERSED order: the writer must still emit
+    # input order
+    for t in reversed(tasks):
+        mgr.display(t)
+    mgr.join()
+
+    expected = [
+        v for t in sorted(tasks, key=lambda t: t.id)
+        for v in (int(f[0, 0, 0]) for f in t.frames[t.num_buffer_frames:])
+    ]
+    assert rec.rows == expected
+    assert sorted(rec.rows) == rec.rows  # strictly the input frame order
