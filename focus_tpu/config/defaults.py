@@ -559,8 +559,13 @@ _DEFAULTS = {
         # jitted step normalises on device (ops/preprocess.py), fusing
         # (x/255-mean)/std into the stem. Host does decode+resize+crop
         # only. Applies to frame datasets with the native decoder; the
-        # float path is the fallback and numerically identical up to
-        # the uint8 rounding the host resize already performs.
+        # float path is the fallback. Labeled numerics note: the uint8
+        # path rounds the post-resize bilinear result to the nearest
+        # byte (a <=0.5/255/std per-pixel quantization the f32/reference
+        # paths, which resize in float, do not perform). Half an ULP of
+        # already-8-bit source data — defensible default-on, but a
+        # deviation in the FAST_GELU/DECODE_DCT_SCALE class, not an
+        # identity.
         "DEVICE_PREPROCESS": True,
         # allow libjpeg DCT-scaled decode in the uint8 eval path when
         # the source is >=2x the target (decodes at 1/2..1/8 resolution;

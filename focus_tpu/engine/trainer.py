@@ -176,6 +176,10 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
     want_topk = not is_ek and not cfg.DATA.MULTI_LABEL and not detection
 
     def train_step(state, video, labels, metadata, base_rng):
+        # normalise uint8 batches BEFORE mixup so blending happens in
+        # normalised space like the reference's host pipeline (no-op on
+        # float batches; forward's call is then also a no-op)
+        video = device_normalize(video, cfg)
         rng = jax.random.fold_in(base_rng, state.step)
         hard_labels = labels
         if use_mixup:
@@ -219,6 +223,7 @@ def make_supervised_train_step(model, cfg, mesh, loss_fn,
         classification losses and (via det_denom) the masked detection
         loss; BN stats update once per microbatch (standard accumulation
         semantics) and the MoE aux ratio is per-microbatch."""
+        video = device_normalize(video, cfg)  # before mixup, as above
         rng = jax.random.fold_in(base_rng, state.step)
         hard_labels = labels
         if use_mixup:

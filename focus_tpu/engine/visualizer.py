@@ -80,6 +80,11 @@ def visualize(cfg):
     # vis paths call model.apply directly and de-normalise frames on
     # host — keep the float host-normalised pipeline here (the uint8
     # device-preprocess contract only holds inside the engine steps)
+    if cfg.TPU.DEVICE_PREPROCESS:
+        logger.info(
+            "visualize(): overriding TPU.DEVICE_PREPROCESS=False for the "
+            "visualization pass (vis de-normalises frames on host)"
+        )
     cfg = cfg.clone()
     cfg.TPU.DEVICE_PREPROCESS = False
     mesh = mesh_lib.build_mesh(cfg)

@@ -72,6 +72,16 @@ def available() -> bool:
     return _get_lib() is not None
 
 
+def _warn_decode_failures(failures: int, n: int, paths) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "native decode: %d/%d JPEGs failed (clip head: %s); falling back "
+        "to the retrying PIL path for this clip", failures, n,
+        paths[0] if paths else "?",
+    )
+
+
 def jpeg_dims(path: str):
     lib = _get_lib()
     if lib is None:
@@ -92,8 +102,9 @@ def decode_jpeg_batch(
     num_threads: int = 4,
 ) -> Optional[np.ndarray]:
     """Returns [len(paths), out_h, out_w, 3] float32, or None if the
-    native library is unavailable. Failed files decode to zeros (callers
-    relying on retry semantics should check ``available()`` first)."""
+    native library is unavailable OR any file fails to decode (the
+    caller then falls back to ``retry_load_images``, matching the slow
+    path's retry semantics instead of shipping black frames)."""
     lib = _get_lib()
     if lib is None:
         return None
@@ -102,11 +113,14 @@ def decode_jpeg_batch(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     mean_a = (ctypes.c_float * 3)(*map(float, mean))
     std_a = (ctypes.c_float * 3)(*map(float, std))
-    lib.decode_jpeg_batch(
+    failures = lib.decode_jpeg_batch(
         arr, n, out_h, out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mean_a, std_a, ctypes.c_float(scale), num_threads,
     )
+    if failures:
+        _warn_decode_failures(failures, n, paths)
+        return None
     return out
 
 
@@ -121,16 +135,21 @@ def decode_jpeg_batch_u8(
     (no normalisation — the device-preprocess graph applies it on the
     TPU). ``dct_scale`` permits libjpeg DCT-scaled decode (faster, but
     an area-average-then-bilinear filter instead of pure bilinear).
-    Returns None if the native library is unavailable."""
+    Returns None if the native library is unavailable OR any file fails
+    to decode (the caller falls back to ``retry_load_images`` so decode
+    failures retry instead of silently becoming black frames)."""
     lib = _get_lib()
     if lib is None:
         return None
     n = len(paths)
     out = np.empty((n, out_h, out_w, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.decode_jpeg_batch_u8(
+    failures = lib.decode_jpeg_batch_u8(
         arr, n, out_h, out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         num_threads, int(dct_scale),
     )
+    if failures:
+        _warn_decode_failures(failures, n, paths)
+        return None
     return out
