@@ -105,7 +105,12 @@ def random_params_like(shapes_tree, scale=0.02):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def measure(cfg, video, boxes, iters=10):
+def measure(cfg, video, boxes, iters=10, repeats=3):
+    """Returns (median clips/s over ``repeats`` timed chains, dispersion
+    dict). Repeated-trial medians because same-config cross-session
+    spread on the relay measured ~4% (BENCH_NOTES round 4) — a
+    single-shot number near a claimed few-percent win is noise-credible
+    either way; the dispersion fields make the spread explicit."""
     from focus_tpu.models.build import build_model
 
     model = build_model(cfg)
@@ -137,14 +142,26 @@ def measure(cfg, video, boxes, iters=10):
     out, _ = eval_step(variables, v, boxes)
     np.asarray(out)
 
-    v = video + 0.5e-6  # distinct chain start vs the warmup dispatches
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, v = eval_step(variables, v, boxes)
-    out_h = np.asarray(out)  # forces the full chain
-    dt = time.perf_counter() - t0
-    assert np.isfinite(out_h).all(), "non-finite logits in bench run"
-    return video.shape[0] * iters / dt
+    rates = []
+    for r in range(repeats):
+        # distinct chain start per repeat vs all prior dispatches
+        v = video + (r + 1) * 0.5e-6
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, v = eval_step(variables, v, boxes)
+        out_h = np.asarray(out)  # forces the full chain
+        dt = time.perf_counter() - t0
+        assert np.isfinite(out_h).all(), "non-finite logits in bench run"
+        rates.append(video.shape[0] * iters / dt)
+    med = float(np.median(rates))
+    dispersion = {
+        "repeats": repeats,
+        "iters_per_repeat": iters,
+        "min": round(min(rates), 2),
+        "max": round(max(rates), 2),
+        "spread_pct": round(100.0 * (max(rates) - min(rates)) / med, 1),
+    }
+    return med, dispersion
 
 
 def _require_devices(timeout_s=900):
@@ -182,27 +199,26 @@ def main():
     video = jnp.asarray(rs.rand(B, 16, 224, 224, 3), jnp.float32)
     boxes = jnp.asarray(rs.rand(B, 8, 4, 4) * 0.5 + 0.25, jnp.float32)
 
-    # headline: exact-erf gelu — the parity-tested numerics
-    cfg = ge._flagship_cfg()
-    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    cfg.TPU.FAST_GELU = False
-    clips_per_sec = measure(cfg, video, boxes)
+    # full serving matrix (erf/tanh x bf16/int8), each as a tracked row
+    # with dispersion — headline = exact-erf bf16, the parity-tested
+    # numerics; the rest are labeled variants (round-4 verdict #2a).
+    def variant_cfg(fast_gelu, int8):
+        cfg = ge._flagship_cfg()
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+        cfg.TPU.FAST_GELU = fast_gelu
+        cfg.TPU.INT8_SERVING = int8
+        return cfg
 
-    # labeled recipe variant: tanh gelu (fuses into the fc2 matmul at
-    # relu cost; ~1e-4 abs output delta — BENCH_NOTES round 2)
-    cfg_fast = ge._flagship_cfg()
-    cfg_fast.TPU.COMPUTE_DTYPE = "bfloat16"
-    cfg_fast.TPU.FAST_GELU = True
-    fast_clips_per_sec = measure(cfg_fast, video, boxes)
-
-    # labeled serving variant: W8A8 dynamic int8 dense on the int8 MXU
-    # (erf numerics elsewhere; logit delta pinned in
-    # tests/test_int8_serving.py; full matrix in BENCH_NOTES round 3)
-    cfg_int8 = ge._flagship_cfg()
-    cfg_int8.TPU.COMPUTE_DTYPE = "bfloat16"
-    cfg_int8.TPU.FAST_GELU = False
-    cfg_int8.TPU.INT8_SERVING = True
-    int8_clips_per_sec = measure(cfg_int8, video, boxes)
+    clips_per_sec, disp = measure(variant_cfg(False, False), video, boxes)
+    fast_clips_per_sec, fast_disp = measure(
+        variant_cfg(True, False), video, boxes
+    )
+    int8_clips_per_sec, int8_disp = measure(
+        variant_cfg(False, True), video, boxes
+    )
+    tanh_int8_clips_per_sec, tanh_int8_disp = measure(
+        variant_cfg(True, True), video, boxes
+    )
 
     print(
         json.dumps(
@@ -211,14 +227,20 @@ def main():
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/s",
                 "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+                "dispersion": disp,
                 "fast_gelu_clips_per_sec": round(fast_clips_per_sec, 2),
+                "fast_gelu_dispersion": fast_disp,
                 "int8_serving_clips_per_sec": round(int8_clips_per_sec, 2),
+                "int8_serving_dispersion": int8_disp,
+                "tanh_int8_clips_per_sec": round(tanh_int8_clips_per_sec, 2),
+                "tanh_int8_dispersion": tanh_int8_disp,
                 "protocol": PROTOCOL,
                 "baseline": "estimated 100 clips/s torch-eager A100 (BASELINE.md)",
                 "variants": {
                     "value": "exact-erf gelu, bf16 compute — the parity-tested numerics",
                     "fast_gelu": "tanh gelu (TPU.FAST_GELU recipe; tests/test_hw_gelu.py delta table)",
                     "int8_serving": "W8A8 dynamic dense (TPU.INT8_SERVING; tests/test_int8_serving.py)",
+                    "tanh_int8": "fastest labeled serving config: tanh gelu + int8 W8A8 (both deltas pinned by tests)",
                 },
                 "companions": load_companions(),
             }

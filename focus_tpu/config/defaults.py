@@ -554,6 +554,12 @@ _DEFAULTS = {
         "PREEMPT_SYNC_PERIOD": 10,
         # use Pallas kernels for hot ops when running on TPU.
         "USE_PALLAS": True,
+        # STEVE autoregressive rollout: run each decoded token's whole
+        # decoder body as ONE Pallas call (ops/pallas/ar_decode.py) —
+        # the per-step ~1 GB weight re-stream pipelines continuously and
+        # KV-cache reads are bounded by the step index. Same math
+        # (bf16 operands, f32 accumulation); TPU backend only.
+        "FUSED_AR_STEP": True,
         # device-resident preprocessing (north-star data path): eval
         # frame pipelines ship uint8 pixels (4x smaller H2D) and the
         # jitted step normalises on device (ops/preprocess.py), fusing

@@ -133,7 +133,7 @@ class Charades:
                 self._spatial_temporal_idx[index] % cfg.TEST.NUM_SPATIAL_CROPS
             )
             min_scale = max_scale = crop_size = cfg.DATA.TEST_CROP_SIZE
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = data_utils.maybe_normalize(frames, cfg)
         frames = data_utils.spatial_sampling(
             frames, spatial_idx=spatial_idx, min_scale=min_scale,
             max_scale=max_scale, crop_size=crop_size,
@@ -179,7 +179,7 @@ class Imagenet:
         with Image.open(path) as im:
             img = np.asarray(im.convert("RGB"))
         frames = img[None]  # [1, H, W, C]
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = data_utils.maybe_normalize(frames, cfg)
         if self.mode == "train":
             frames = data_utils.spatial_sampling(
                 frames, spatial_idx=-1,

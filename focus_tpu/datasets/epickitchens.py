@@ -217,7 +217,7 @@ class Epickitchens:
             boxes[..., [0, 2]] *= w
             boxes[..., [1, 3]] *= h
 
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = data_utils.maybe_normalize(frames, cfg)
         if spatial_idx == -1:
             out = xf.random_short_side_scale_jitter(
                 frames, min_scale, max_scale, rng,

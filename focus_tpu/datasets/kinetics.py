@@ -142,7 +142,7 @@ class Kinetics:
             videos = samples[0]
             return videos, label, np.int32(index), {}
 
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = data_utils.maybe_normalize(frames, cfg)
         frames = data_utils.spatial_sampling(
             frames,
             spatial_idx=spatial_idx,
@@ -173,7 +173,7 @@ class Kinetics:
             )
         else:
             f = frames
-        f = data_utils.tensor_normalize(f, cfg.DATA.MEAN, cfg.DATA.STD)
+        f = data_utils.maybe_normalize(f, cfg)
         scl = list(cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE)
         asp = list(cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE)
         f = data_utils.spatial_sampling(
@@ -195,6 +195,7 @@ class Kinetics:
             erase = RandomErasing(
                 cfg.AUG.RE_PROB, mode=cfg.AUG.RE_MODE,
                 max_count=cfg.AUG.RE_COUNT, num_splits=cfg.AUG.RE_COUNT,
+                mean=cfg.DATA.MEAN, std=cfg.DATA.STD,
             )
             f = erase(f, rng=rng)
         return f

@@ -23,6 +23,8 @@ class RandomErasing:
         max_count=None,
         num_splits=0,
         cube=True,
+        mean=(0.45, 0.45, 0.45),
+        std=(0.225, 0.225, 0.225),
     ):
         self.probability = probability
         self.min_area = min_area
@@ -33,13 +35,32 @@ class RandomErasing:
         self.max_count = max_count or min_count
         self.mode = mode
         self.cube = cube
+        # only used for uint8 clips (TPU.DEVICE_PREPROCESS train path):
+        # the erase fill is DEFINED in normalized units (timm erases
+        # after normalize), so on raw pixels the same fill is
+        # (z*std+mean)*255, rounded and clipped to the byte range — the
+        # clip truncates ~|z|>2.4 noise tails, a labeled deviation of
+        # the same half-ULP class as the uint8 resize rounding.
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
 
     def _get_pixels(self, shape, dtype, rng):
         if self.mode == "pixel":
-            return rng.randn(*shape).astype(dtype)
-        if self.mode == "rand":
-            return rng.randn(1, 1, shape[-1]).astype(dtype)
-        return np.zeros(shape, dtype)
+            noise = rng.randn(*shape)
+        elif self.mode == "rand":
+            noise = rng.randn(1, 1, shape[-1])
+        else:
+            noise = None
+        if dtype == np.uint8:
+            if noise is None:
+                # 'const' fills 0 in normalized units == the mean pixel
+                px = np.broadcast_to(self.mean * 255.0, shape)
+            else:
+                px = (noise * self.std + self.mean) * 255.0
+            return np.clip(np.rint(px), 0, 255).astype(np.uint8)
+        if noise is None:
+            return np.zeros(shape, dtype)
+        return noise.astype(dtype)
 
     def __call__(self, frames: np.ndarray, rng=None) -> np.ndarray:
         """frames: [T, H, W, C] float."""

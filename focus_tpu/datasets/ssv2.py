@@ -281,7 +281,7 @@ class Ssv2:
                 interpolation=cfg.AUG.INTERPOLATION,
             )
 
-        frames = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = data_utils.maybe_normalize(frames, cfg)
 
         # joint geometric aug for frames (+ boxes)
         if spatial_idx == -1:

@@ -21,12 +21,13 @@ def _resize_frames(frames: np.ndarray, new_h: int, new_w: int,
         return _resize_frames_linear(
             np.ascontiguousarray(frames, np.float32), new_h, new_w
         ).astype(dtype)
-    out = np.empty((frames.shape[0], new_h, new_w, frames.shape[3]), np.uint8)
-    for t in range(frames.shape[0]):
-        out[t] = np.asarray(
-            Image.fromarray(frames[t]).resize((new_w, new_h), interp)
-        )
-    return out
+    # uint8 frames (TPU.DEVICE_PREPROCESS path): cv2 INTER_LINEAR on
+    # uint8 is the SAME no-antialias bilinear filter as the float path,
+    # evaluated in fixed point with round-to-nearest — i.e. the float
+    # result quantised to the byte grid (the labeled half-ULP deviation
+    # documented at TPU.DEVICE_PREPROCESS). PIL's BILINEAR would
+    # antialias and diverge from the reference's interpolate filter.
+    return _resize_frames_linear(np.ascontiguousarray(frames), new_h, new_w)
 
 
 def random_short_side_scale_jitter(

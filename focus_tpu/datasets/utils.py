@@ -79,6 +79,21 @@ def tensor_normalize(frames: np.ndarray, mean, std) -> np.ndarray:
     return (frames - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+def maybe_normalize(frames: np.ndarray, cfg) -> np.ndarray:
+    """Host-side normalize, skipped under ``TPU.DEVICE_PREPROCESS``.
+
+    The north-star data path (ops/preprocess.py): uint8 frames stay
+    uint8 through the dtype-preserving geometric transforms (crops and
+    flips are byte slices; resizes round to the nearest byte — the
+    labeled half-ULP deviation documented at TPU.DEVICE_PREPROCESS) and
+    the jitted step normalizes on device, cutting host CPU and H2D 4x.
+    Float frames (or DEVICE_PREPROCESS off) take the reference's
+    host-normalize path (reference datasets/utils.py:319-337)."""
+    if cfg.TPU.DEVICE_PREPROCESS and frames.dtype == np.uint8:
+        return frames
+    return tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+
+
 def revert_tensor_normalize(frames: np.ndarray, mean, std) -> np.ndarray:
     """Undo ``tensor_normalize`` back to [0, 1] floats (reference
     utils.py revert_tensor_normalize)."""

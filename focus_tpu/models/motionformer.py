@@ -187,16 +187,6 @@ class TrajectoryAttention(nn.Module):
         qkv = int8_or_dense(3 * C, "qkv", self.qkv_bias, x, quant,
                             self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        # 'b n (h d) -> (b h) n d'
-        split_heads = lambda t: t.reshape(B, -1, h, hd).transpose(0, 2, 1, 3).reshape(
-            B * h, -1, hd
-        )
-        qh, kh, vh = map(split_heads, (q, k, v))
-
-        if with_cls_token:
-            cls_q = qh[:, :1]
-            cls_out = attn_ops.cls_attention(cls_q, kh, vh, scale)
-            cls_out = cls_out.reshape(B, h, 1, hd).transpose(0, 2, 1, 3).reshape(B, 1, C)
 
         import jax as _jax
 
@@ -209,6 +199,30 @@ class TrajectoryAttention(nn.Module):
             and not drop_attn
             and _jax.default_backend() in ("tpu", "axon")
         )
+        if not fused_ok:
+            # 'b n (h d) -> (b h) n d' — the unfused path consumes
+            # head-split operands. The fused path never builds them:
+            # the kernel takes [B, S, C] directly and the CLS row uses
+            # the native-layout cls_attention_dense, so two full-tensor
+            # head-split transposed copies per layer disappear
+            # (round-5 trace track).
+            split_heads = lambda t: t.reshape(B, -1, h, hd).transpose(
+                0, 2, 1, 3
+            ).reshape(B * h, -1, hd)
+            qh, kh, vh = map(split_heads, (q, k, v))
+
+        if with_cls_token:
+            if fused_ok:
+                cls_out = attn_ops.cls_attention_dense(
+                    q[:, :1], k, v, scale, h
+                )
+            else:
+                cls_q = qh[:, :1]
+                cls_out = attn_ops.cls_attention(cls_q, kh, vh, scale)
+                cls_out = cls_out.reshape(B, h, 1, hd).transpose(
+                    0, 2, 1, 3
+                ).reshape(B, 1, C)
+
         if fused_ok:
             # fully-fused stage1+stage2 core: the per-frame aggregate
             # tensor never leaves VMEM (focus_tpu/ops/pallas/trajectory_block.py)

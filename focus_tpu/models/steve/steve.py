@@ -308,7 +308,16 @@ class STEVE(nn.Module):
 
         slots = self.steve_encoder.slot_proj(slots)
         if use_kv_cache:
-            z_ids = self._decode_ids_cached(slots, gen_len)  # [gen_len, B]
+            import jax as _jax
+
+            fused = (
+                bool(getattr(self.cfg.TPU, "FUSED_AR_STEP", True))
+                and _jax.default_backend() in ("tpu", "axon")
+            )
+            if fused:
+                z_ids = self._decode_ids_cached_fused(slots, gen_len)
+            else:
+                z_ids = self._decode_ids_cached(slots, gen_len)
         else:
             z_ids = self._decode_ids_full(slots, gen_len)
         z_one_hot = jax.nn.one_hot(z_ids.T, self.vocab_size)  # [B, gen_len, V]
@@ -357,6 +366,62 @@ class STEVE(nn.Module):
             out_axes=0,
         )
         _, z_ids = scan(self, (bos, caches), jnp.arange(gen_len))
+        return z_ids  # [gen_len, B]
+
+    def _decode_ids_cached_fused(self, slots, gen_len):
+        """KV-cached rollout with the WHOLE per-token decoder body fused
+        into one Pallas call (ops/pallas/ar_decode.py): the per-step
+        weight re-stream (~0.94 GB at the default width) runs as one
+        continuously double-buffered pipeline instead of ~45 XLA ops,
+        and cache reads are bounded by the step index. Same math as
+        ``_decode_ids_cached`` (bf16 operands, f32 accumulation);
+        ids-parity pinned by tests/test_steve_fused_ar.py."""
+        from focus_tpu.ops.pallas.ar_decode import (
+            fused_ar_step,
+            stack_decoder_params,
+        )
+
+        B = slots.shape[0]
+        d = self.d_model
+        nb = self.steve_decoder.tf.num_blocks
+        h = self.steve_decoder.tf.num_heads
+        L = 1 + gen_len
+        dtype = slots.dtype
+        bos = jnp.broadcast_to(
+            self.steve_decoder.bos.astype(dtype), (B, 1, d)
+        )
+        params = self.steve_decoder.tf.variables["params"]
+        wstack, lnp, bias, flnp = stack_decoder_params(
+            params, nb, dtype=dtype
+        )
+        cross_kvs = self.steve_decoder.tf(bos, slots, project_kv_only=True)
+        ckv = jnp.stack([
+            jnp.stack([k.reshape(B, -1, d), v.reshape(B, -1, d)])
+            for (k, v) in cross_kvs
+        ]).astype(dtype)  # [nb, 2, B, S, d]
+        k_cache = jnp.zeros((nb, L, B, d), dtype)
+        v_cache = jnp.zeros((nb, L, B, d), dtype)
+
+        def step(mdl, carry, t):
+            x_t, kc, vc = carry
+            x = mdl.steve_decoder.pos.at(x_t, t)  # [B, 1, d]
+            y, kc, vc = fused_ar_step(
+                x[:, 0].astype(dtype), t, wstack, lnp, bias, ckv, kc,
+                vc, flnp, heads=h,
+            )
+            logits = mdl.steve_decoder.head(y[:, None])
+            z_id = jnp.argmax(logits, axis=-1)  # [B, 1]
+            emb = mdl.steve_decoder.dict_emb(z_id).astype(x_t.dtype)
+            return (emb, kc, vc), z_id[:, 0]
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        _, z_ids = scan(self, (bos, k_cache, v_cache), jnp.arange(gen_len))
         return z_ids  # [gen_len, B]
 
     def _decode_ids_full(self, slots, gen_len):

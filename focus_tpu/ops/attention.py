@@ -137,6 +137,46 @@ def cls_attention(cls_q, k, v, scale: float):
     return out[:, :1].astype(cls_q.dtype)
 
 
+def cls_attention_dense(cls_q, k, v, scale: float, h: int):
+    """CLS attention consuming NATIVE-layout k/v — no head-split.
+
+    cls_q: [B, 1, C]; k/v: [B, N, C]; returns [B, 1, C]. Same math as
+    ``cls_attention`` (reference attention.py:512-519) but the head
+    structure is expressed as block-diagonal contractions so k and v
+    are consumed in their [B, N, C] producer layout: the fused
+    trajectory path otherwise pays two full [B, N, C] head-split
+    transposed copies per layer JUST for this one query row (round-5
+    trace track). Logits ride one batched MXU matmul against a
+    block-diagonal query ([B, C, h]: rows of head j zero outside head
+    j's slice); the context is computed for all (head, slice) pairs —
+    h x the needed FLOPs, but at [h, C] output size that is ~0.2
+    GFLOP/layer, noise — and the diagonal blocks are gathered at the
+    end. Attention weights are applied at the kv dtype, matching
+    ``cls_attention``'s weight-rounding class.
+    """
+    B, N, C = k.shape
+    hd = C // h
+    head_onehot = jnp.repeat(
+        jnp.eye(h, dtype=k.dtype), hd, axis=0
+    )  # [C, h]: onehot of each channel's head
+    qs = (cls_q[:, 0] * scale).astype(k.dtype)  # [B, C]
+    q_blk = qs[:, :, None] * head_onehot[None]  # [B, C, h]
+    logits = jax.lax.dot_general(
+        k, q_blk, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [B, N, h]
+    attn = jax.nn.softmax(logits, axis=1)
+    ctx = jax.lax.dot_general(
+        attn.astype(v.dtype), v, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [B, h, C]
+    # diagonal blocks: out[b, j*hd:(j+1)*hd] = ctx[b, j, j*hd:(j+1)*hd]
+    diag = jnp.einsum(
+        "bjkd,jk->bjd", ctx.reshape(B, h, h, hd), jnp.eye(h, dtype=ctx.dtype)
+    )
+    return diag.reshape(B, 1, C).astype(cls_q.dtype)
+
+
 def joint_attention(q, k, v, scale: float):
     """Vanilla joint space-time attention (reference attention.py:355-385).
     q/k/v: [B, H, N, d]."""

@@ -29,6 +29,24 @@ from jax.experimental import pallas as pl
 from focus_tpu.ops import attention as attn_ops
 
 
+def _pick_bq(S: int, block_q: int) -> int:
+    """Largest multiple-of-8 query block <= block_q that divides S
+    without inflating the grid (at most one extra cell vs the padded
+    grid). A pad-free grid skips the per-layer HBM q-pad + out
+    slice-back copies AND the kernel work on the up-to-bq-1 garbage pad
+    rows: at MF-224 (S=1568, block_q=256) this picks bq=224 — the same
+    7 grid cells as the padded 1792-row grid but 12.5% fewer query rows
+    of stage-1/stage-2 work (round-5 perf track)."""
+    bq = min(block_q, _round_up(S, 8))
+    if S % bq == 0:
+        return bq
+    cells = -(-S // bq)
+    for cand in range(bq - 8, 63, -8):
+        if S % cand == 0 and -(-S // cand) <= cells + 1:
+            return cand
+    return bq
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -474,7 +492,7 @@ def _fused_fwd_pallas_v4(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads,
     n_rows = N if dense_kv else n_pad
     kf2 = kf.reshape(B, F * n_rows, C)
     vf2 = vf.reshape(B, F * n_rows, C)
-    bq = min(block_q, _round_up(S, 8))
+    bq = _pick_bq(S, block_q)
     s_pad = _round_up(S, bq)
     if s_pad != S:
         q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
@@ -1179,9 +1197,9 @@ def _fused_fwd(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret):
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
                       dq_ref, dk_ref, dv_ref, dwq2_ref, dbq2_ref, dwk2_ref,
-                      xs_ref, a_ref, dxs_ref, diag_ref, dz_ref, g_ref, *,
+                      xs_ref, a_ref, dxs_ref, diag_ref, dz_ref, g_ref, *pads,
                       scale, n_valid, f, h, bq, skip_b=False, skip_c=False,
-                      stage1="f32"):
+                      stage1="f32", dense_kv=False):
     """Backward of the fused trajectory core, entirely in VMEM.
 
     Grid (b, q_block), both sequential; frames loop inside the cell. The
@@ -1203,11 +1221,41 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
     """
     C = q_ref.shape[-1]
     hd = C // h
-    n_pad = k_ref.shape[1] // f
+    # dk/dv outputs stay padded either way, so n_pad comes from them
+    n_pad = dk_ref.shape[1] // f
     b = pl.program_id(0)
     qi = pl.program_id(1)
     c = scale * _LOG2E
     f32 = jnp.float32
+
+    if dense_kv:
+        # read-side port of the forward's V4_DENSE_KV (round-4 trace
+        # ledger): k/v arrive DENSE ([1, F*N, C]) and the lane-aligned
+        # padded layout is built once per batch row in VMEM scratch,
+        # removing the wrapper-side HBM pad+copy on the train path too.
+        kp_ref, vp_ref = pads
+
+        @pl.when(qi == 0)
+        def _build_padded_kv():
+            kp_ref[...] = jnp.zeros_like(kp_ref)
+            vp_ref[...] = jnp.zeros_like(vp_ref)
+            for fi in range(f):
+                rows_dst = slice(fi * n_pad, fi * n_pad + n_valid)
+                rows_src = slice(fi * n_valid, (fi + 1) * n_valid)
+                kp_ref[rows_dst] = k_ref[0, rows_src]
+                vp_ref[rows_dst] = v_ref[0, rows_src]
+
+        def kread(rows, cols):
+            return kp_ref[rows, cols]
+
+        def vread(rows, cols):
+            return vp_ref[rows, cols]
+    else:
+        def kread(rows, cols):
+            return k_ref[0, rows, cols]
+
+        def vread(rows, cols):
+            return v_ref[0, rows, cols]
 
     tok = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
     fq = tok // n_valid
@@ -1233,7 +1281,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
         sl = slice(hi * hd, (hi + 1) * hd)
         # QK batched across frames (v4 form): h launches, not h*f
         logits = jax.lax.dot_general(
-            q_ref[0, :, sl], k_ref[0, :, sl],
+            q_ref[0, :, sl], kread(slice(None), sl),
             (((1,), (1,)), ((), ())), preferred_element_type=f32,
         )  # [BQ, F*N_pad]
         if stage1 == "bf16":
@@ -1254,7 +1302,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
             a = (puf / ssum).astype(a_ref.dtype)
             a_ref[fi, hi] = a
             xs_ref[fi, :, sl] = jax.lax.dot_general(
-                a, v_ref[0, fi * n_pad:(fi + 1) * n_pad, sl],
+                a, vread(slice(fi * n_pad, (fi + 1) * n_pad), sl),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             ).astype(xs_ref.dtype)
@@ -1375,7 +1423,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
                 preferred_element_type=f32,
             )
             da = jax.lax.dot_general(
-                dxs_h, v_ref[0, rows, sl], (((1,), (1,)), ((), ())),
+                dxs_h, vread(rows, sl), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
             )  # [BQ, N_pad]
             a32 = a.astype(f32)
@@ -1386,7 +1434,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
         # (v4 form): dk rows for frame f touch only dz columns of frame
         # f, so dk over all frames = dz_cat^T x q_sl
         dq_ref[0, :, sl] = scale * jax.lax.dot_general(
-            dz_ref[...], k_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            dz_ref[...], kread(slice(None), sl), (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
         dk_ref[0, :, sl] += scale * jax.lax.dot_general(
@@ -1398,21 +1446,29 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, wq2_ref, bq2_ref, wk2_ref, do_ref,
 def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
                       block_q: int = 256, interpret: bool = False,
                       skip_b: bool = False, skip_c: bool = False,
-                      stage1: str = "f32"):
+                      stage1: str = "f32", dense_kv: bool = False):
     """Pallas backward wrapper. Returns (dq, dkf, dvf, dwq2, dbq2, dwk2)
-    in the primal dtypes."""
+    in the primal dtypes.
+
+    dense_kv: read-side port of the forward's V4_DENSE_KV — k/v ship
+    dense ([B, F*N, C]) and the padded layout is built in VMEM scratch
+    once per batch row; dk/dv outputs stay padded (their one HBM
+    write-back per batch row is already amortised over the q-block
+    accumulation).
+    """
     from jax.experimental.pallas import tpu as pltpu
 
     B, S, C = q.shape
     F, N = kf.shape[1], kf.shape[2]
     n_pad = _round_up(N, 128)
-    if n_pad != N:
+    if not dense_kv and n_pad != N:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, 0)]
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
-    kf2 = kf.reshape(B, F * n_pad, C)
-    vf2 = vf.reshape(B, F * n_pad, C)
-    bq = min(block_q, _round_up(S, 8))
+    n_rows = N if dense_kv else n_pad
+    kf2 = kf.reshape(B, F * n_rows, C)
+    vf2 = vf.reshape(B, F * n_rows, C)
+    bq = _pick_bq(S, block_q)
     s_pad = _round_up(S, bq)
     if s_pad != S:
         q = jnp.pad(q, [(0, 0), (0, s_pad - S), (0, 0)])
@@ -1429,16 +1485,29 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
         jax.ShapeDtypeStruct((1, C), f32),                 # dbq2
         jax.ShapeDtypeStruct((C, C), f32),                 # dwk2
     )
+    scratch = [
+        pltpu.VMEM((F, bq, C), q.dtype),
+        pltpu.VMEM((F, heads, bq, n_pad), q.dtype),
+        pltpu.VMEM((F, bq, C), q.dtype),  # dxs (see store comment)
+        pltpu.VMEM((bq, C), q.dtype),
+        pltpu.VMEM((bq, F * n_pad), q.dtype),
+        pltpu.VMEM((heads, bq, C), q.dtype),
+    ]
+    if dense_kv:
+        scratch += [
+            pltpu.VMEM((F * n_pad, C), kf.dtype),
+            pltpu.VMEM((F * n_pad, C), vf.dtype),
+        ]
     outs = pl.pallas_call(
         functools.partial(
             _fused_bwd_kernel, scale=scale, n_valid=N, f=F, h=heads, bq=bq,
-            skip_b=skip_b, skip_c=skip_c, stage1=stage1,
+            skip_b=skip_b, skip_c=skip_c, stage1=stage1, dense_kv=dense_kv,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, F * n_pad, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_rows, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, F * n_rows, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
             pl.BlockSpec((1, C), lambda b, i: (0, 0)),
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
@@ -1453,14 +1522,7 @@ def _fused_bwd_pallas(q, kf, vf, wq2, bq2, wk2, dout, scale, heads,
             pl.BlockSpec((C, C), lambda b, i: (0, 0)),
         ),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((F, bq, C), q.dtype),
-            pltpu.VMEM((F, heads, bq, n_pad), q.dtype),
-            pltpu.VMEM((F, bq, C), q.dtype),  # dxs (see store comment)
-            pltpu.VMEM((bq, C), q.dtype),
-            pltpu.VMEM((bq, F * n_pad), q.dtype),
-            pltpu.VMEM((heads, bq, C), q.dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1492,7 +1554,7 @@ def _fused_bwd(scale, heads, interpret, res, g):
     if BWD_USE_PALLAS:
         dq, dk, dv, dwq2, dbq2, dwk2 = _fused_bwd_pallas(
             q, kf, vf, wq2, bq2, wk2, g, scale, heads, interpret=interpret,
-            stage1=BWD_STAGE1,
+            stage1=BWD_STAGE1, dense_kv=V4_DENSE_KV,
         )
         return dq, dk, dv, dwq2, dbq2, dwk2, jnp.zeros_like(bk2)
     _, vjp = jax.vjp(

@@ -27,7 +27,7 @@ def main():
         cfg = ge._flagship_cfg()
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
         cfg.TPU.FAST_GELU = False
-        rate = measure(cfg, video, boxes)
+        rate, _ = measure(cfg, video, boxes)
         print(f"B={B}: {rate:.2f} clips/s  ({B * 1000 / rate:.1f} ms/step)",
               flush=True)
 

@@ -26,7 +26,7 @@ def main():
         boxes = jnp.asarray(rs.rand(1, 8, 4, 4) * 0.5 + 0.25, jnp.float32)
         cfg = ge._flagship_cfg()
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-        rate = measure(cfg, video, boxes, iters=20)
+        rate, _ = measure(cfg, video, boxes, iters=20)
         print(f"B=1 latency: {1000 / rate:.1f} ms/clip", flush=True)
         record_companion(
             "b1_latency_ms_per_clip", 1000 / rate, "ms",
@@ -42,7 +42,7 @@ def main():
         B = 4
         video = jnp.asarray(rs.rand(B, 16, 336, 336, 3), jnp.float32)
         boxes = jnp.asarray(rs.rand(B, 8, 4, 4) * 0.5 + 0.25, jnp.float32)
-        rate = measure(cfg, video, boxes, iters=8)
+        rate, _ = measure(cfg, video, boxes, iters=8)
         print(f"HR-336 B={B}: {rate:.2f} clips/s", flush=True)
         record_companion(
             "hr336_ek_b4_clips_per_sec", rate, "clips/s",

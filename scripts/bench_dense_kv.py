@@ -46,7 +46,7 @@ def main():
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
         cfg.TPU.FAST_GELU = False
         results["dense" if dense else "padded"] = round(
-            measure(cfg, video, boxes), 2
+            measure(cfg, video, boxes)[0], 2
         )
     print(json.dumps({"erf_clips_per_sec": results}), flush=True)
 

@@ -33,7 +33,7 @@ def main():
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
         cfg.TPU.FAST_GELU = False
         cfg.TPU.INT8_SERVING = int8
-        results[name] = round(bench.measure(cfg, video, boxes), 2)
+        results[name] = round(bench.measure(cfg, video, boxes)[0], 2)
         print(f"{name}: {results[name]} clips/s", flush=True)
 
     print(json.dumps({"batch": B, **results,

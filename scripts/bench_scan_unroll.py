@@ -43,7 +43,7 @@ def main():
         # is only scan-vs-unroll when remat is off on both sides.
         cfg.TPU.REMAT = False
         cfg.TPU.SCAN_LAYERS = scan
-        clips = bench_mod.measure(cfg, video, boxes)
+        clips, _ = bench_mod.measure(cfg, video, boxes)
         results["scan" if scan else "unroll"] = clips
         print(f"SCAN_LAYERS={scan}: {clips:.2f} clips/s", flush=True)
 

@@ -311,3 +311,174 @@ def test_device_normalize_passthrough_and_tuple(ssv2_cfg):
         ssv2_cfg.DATA.STD
     )
     np.testing.assert_allclose(np.asarray(fast)[0, 0, 0, 0], exp, rtol=1e-6)
+
+
+def _u8_tol(cfg, ulps=1.01):
+    # uint8 resize quantisation: cv2 fixed-point round-to-nearest is
+    # within ~1 byte LSB of the float bilinear result
+    return ulps / 255.0 / min(cfg.DATA.STD)
+
+
+def test_kinetics_device_preprocess_parity(tmp_path):
+    """Kinetics eval under TPU.DEVICE_PREPROCESS: uint8 end-to-end on
+    host, device normalize reproduces the f32 host-normalised path up
+    to the uint8 resize rounding."""
+    cv2 = pytest.importorskip("cv2")
+    from focus_tpu.datasets.build import build_dataset
+    from focus_tpu.ops.preprocess import device_normalize
+
+    root = tmp_path / "k400"
+    root.mkdir()
+    path = str(root / "vid0.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (48, 40))
+    rs = np.random.RandomState(0)
+    for _ in range(40):
+        w.write(rs.randint(0, 255, (40, 48, 3), np.uint8))
+    w.release()
+    (root / "test.csv").write_text(f"{path} 3\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.MODEL.ARCH = "mvit"
+
+    cfg_f32 = cfg.clone()
+    cfg_f32.TPU.DEVICE_PREPROCESS = False
+    cfg_u8 = cfg.clone()
+    cfg_u8.TPU.DEVICE_PREPROCESS = True
+    v_f32 = build_dataset("kinetics", cfg_f32, "test")[0][0]
+    v_u8 = build_dataset("kinetics", cfg_u8, "test")[0][0]
+    assert v_u8.dtype == np.uint8 and v_f32.dtype == np.float32
+    assert v_u8.shape == v_f32.shape
+    normed = np.asarray(device_normalize(v_u8[None], cfg_u8))[0]
+    np.testing.assert_allclose(normed, v_f32, atol=_u8_tol(cfg_u8))
+
+
+def _charades_tree(root, num_frames=10, size=48):
+    os.makedirs(root, exist_ok=True)
+    from PIL import Image as PILImage
+
+    rs = np.random.RandomState(1)
+    rows = ["original_video_id video_id frame_id path labels"]
+    for t in range(num_frames):
+        p = os.path.join(root, f"v0_{t:06d}.jpg")
+        PILImage.fromarray(
+            rs.randint(0, 255, (size, size, 3), np.uint8)
+        ).save(p, quality=95)
+        rows.append(f'v0 0 {t} {p} "{t % 3}"')
+    with open(os.path.join(root, "val.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def test_charades_device_preprocess_parity(tmp_path):
+    """Charades (frame CSV) under TPU.DEVICE_PREPROCESS: same parity
+    contract as SSv2/Kinetics."""
+    pytest.importorskip("cv2")
+    from focus_tpu.datasets.build import build_dataset
+    from focus_tpu.ops.preprocess import device_normalize
+
+    root = str(tmp_path / "charades")
+    _charades_tree(root)
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = root
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 5
+
+    cfg_f32 = cfg.clone()
+    cfg_f32.TPU.DEVICE_PREPROCESS = False
+    cfg_u8 = cfg.clone()
+    cfg_u8.TPU.DEVICE_PREPROCESS = True
+    v_f32, lab_f32, _, _ = build_dataset("charades", cfg_f32, "test")[0]
+    v_u8, lab_u8, _, _ = build_dataset("charades", cfg_u8, "test")[0]
+    assert v_u8.dtype == np.uint8 and v_f32.dtype == np.float32
+    np.testing.assert_array_equal(lab_u8, lab_f32)
+    normed = np.asarray(device_normalize(v_u8[None], cfg_u8))[0]
+    np.testing.assert_allclose(normed, v_f32, atol=_u8_tol(cfg_u8))
+
+
+def test_spatial_sampling_commutes_with_normalize_u8():
+    """The geometric transform stack on uint8 + device normalize must
+    equal host-normalize + the same transforms, up to the uint8 resize
+    rounding — the contract that makes the TRAIN path's uint8 shipping
+    valid (crops/flips are byte slices; only resizes quantise)."""
+    pytest.importorskip("cv2")
+    from focus_tpu.datasets import utils as data_utils
+    from focus_tpu.ops.preprocess import device_normalize
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    rs = np.random.RandomState(7)
+    frames = rs.randint(0, 255, (4, 40, 48, 3), np.uint8)
+
+    f32 = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+    out_f32 = data_utils.spatial_sampling(
+        f32, spatial_idx=-1, min_scale=36, max_scale=36, crop_size=32,
+        rng=np.random.RandomState(3),
+    )
+    out_u8 = data_utils.spatial_sampling(
+        frames, spatial_idx=-1, min_scale=36, max_scale=36, crop_size=32,
+        rng=np.random.RandomState(3),
+    )
+    assert out_u8.dtype == np.uint8
+    normed = np.asarray(device_normalize(out_u8[None], cfg))[0]
+    np.testing.assert_allclose(normed, out_f32, atol=_u8_tol(cfg))
+
+
+def test_random_erasing_uint8():
+    """RandomErasing on uint8 clips: 'const' fills the mean pixel (0 in
+    normalized units); 'pixel' fills de-normalised clipped noise; the
+    un-erased region is untouched."""
+    from focus_tpu.datasets.random_erasing import RandomErasing
+
+    cfg = get_cfg()
+    rs = np.random.RandomState(5)
+    frames = rs.randint(0, 255, (2, 24, 24, 3), np.uint8)
+
+    erase = RandomErasing(1.0, mode="const", mean=cfg.DATA.MEAN,
+                          std=cfg.DATA.STD)
+    out = erase(frames, rng=np.random.RandomState(2))
+    assert out.dtype == np.uint8
+    changed = out != frames
+    assert changed.any()
+    mean_px = np.rint(np.asarray(cfg.DATA.MEAN) * 255).astype(np.uint8)
+    t, y, x, _ = np.nonzero(changed)
+    np.testing.assert_array_equal(
+        out[t[0], y[0], x[0]], mean_px
+    )
+
+    # same rng draws => same erase box as the normalized-f32 call
+    from focus_tpu.datasets import utils as data_utils
+
+    f32 = data_utils.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+    out_f32 = erase(f32, rng=np.random.RandomState(2))
+    changed_f32 = out_f32 != f32
+    np.testing.assert_array_equal(changed_f32.any(axis=-1).nonzero()[1:2],
+                                  changed.any(axis=-1).nonzero()[1:2])
+
+    erase_px = RandomErasing(1.0, mode="pixel", mean=cfg.DATA.MEAN,
+                             std=cfg.DATA.STD)
+    out_px = erase_px(frames, rng=np.random.RandomState(2))
+    assert out_px.dtype == np.uint8
+
+
+def test_ssv2_train_path_ships_uint8(ssv2_cfg):
+    """SSv2 TRAIN path under DEVICE_PREPROCESS: randaug + geometric
+    transforms run on uint8 and the item ships uint8."""
+    from focus_tpu.datasets.build import build_dataset
+
+    cfg = ssv2_cfg.clone()
+    cfg.TPU.DEVICE_PREPROCESS = True
+    cfg.AUG.ENABLE = True
+    cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
+    ds = build_dataset("ssv2", cfg, "train")
+    v, _, _, _ = ds[0]
+    assert v.dtype == np.uint8
+    assert v.shape[-1] == 3

@@ -300,3 +300,72 @@ def test_fused_core_v4_dense_kv_extreme(sign, mag):
                                   dense_kv=True)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4)
+
+
+def test_fused_bwd_dense_kv_matches_padded():
+    """Backward dense_kv (read-side V4_DENSE_KV port): gradients must be
+    exact vs the padded-wrapper backward — same kernel math, operands
+    staged in VMEM instead of an HBM pad."""
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    q, kf, vf, wq2, bq2, wk2, _ = make_inputs(seed=8)
+    heads = 4
+    scale = (16 // heads) ** -0.5
+    dout = jnp.asarray(
+        np.random.RandomState(9).randn(*q.shape) * 0.3, jnp.float32
+    )
+    g_pad = tb._fused_bwd_pallas(
+        q, kf, vf, wq2, bq2, wk2, dout, scale, heads, interpret=True,
+        dense_kv=False,
+    )
+    g_dense = tb._fused_bwd_pallas(
+        q, kf, vf, wq2, bq2, wk2, dout, scale, heads, interpret=True,
+        dense_kv=True,
+    )
+    for a, b in zip(g_pad, g_dense):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_pick_bq_divisor():
+    """Pad-free block picker: at the flagship shape it must choose 224
+    (7 cells, zero pad) over 256 (7 cells, 224 garbage rows)."""
+    from focus_tpu.ops.pallas.trajectory_block import _pick_bq
+
+    assert _pick_bq(1568, 256) == 224
+    assert _pick_bq(1568, 224) == 224
+    assert _pick_bq(128, 256) == 128       # already exact
+    assert _pick_bq(36, 256) == 40         # no >=64 divisor: keep pad
+    assert _pick_bq(160, 96) == 80         # divisor within +1 cell
+    # HR-336 (S=3528): no multiple-of-8 divisor in [128, 256] keeps the
+    # grid within +1 cell -> the padded grid stays
+    assert _pick_bq(3528, 256) == 256
+
+
+def test_fused_core_divisor_bq_matches_xla():
+    """Forward + backward parity when _pick_bq selects a pad-free
+    divisor block (S=160, block_q=96 -> bq=80)."""
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    args = make_inputs(B=1, F=5, N=32, seed=11)
+    heads = 4
+    scale = (16 // heads) ** -0.5
+    ref = tb._xla_reference(*args, scale, heads)
+    out = tb._fused_fwd_pallas_v4(*args[:7], scale, heads, block_q=96,
+                                  interpret=True, dense_kv=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    q, kf, vf, wq2, bq2, wk2, _ = args
+    dout = jnp.asarray(
+        np.random.RandomState(12).randn(*q.shape) * 0.3, jnp.float32
+    )
+
+    def loss_ref(*a):
+        return (tb._xla_reference(*a, scale, heads) * dout).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args[:6], args[6])
+    g_fused = tb._fused_bwd_pallas(
+        q, kf, vf, wq2, bq2, wk2, dout, scale, heads, block_q=96,
+        interpret=True, dense_kv=True,
+    )
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)

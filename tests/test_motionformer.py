@@ -93,3 +93,57 @@ def test_pos_embed_interpolation():
     out = interpolate_pos_embed(pe, 49)  # 14x14 -> 7x7
     assert out.shape == (1, 50, 8)
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
+
+
+def test_cls_attention_dense_matches_head_split():
+    """Native-layout CLS attention (block-diagonal contractions, no
+    head-split transposes of k/v) must match the head-split form."""
+    import jax.numpy as jnp
+    from focus_tpu.ops import attention as attn_ops
+
+    B, N, C, h = 2, 37, 32, 4
+    hd = C // h
+    scale = hd ** -0.5
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(B, N, C) * 0.5, jnp.float32)
+    k = jnp.asarray(rs.randn(B, N, C) * 0.5, jnp.float32)
+    v = jnp.asarray(rs.randn(B, N, C) * 0.5, jnp.float32)
+
+    split = lambda t: t.reshape(B, N, h, hd).transpose(0, 2, 1, 3).reshape(
+        B * h, N, hd
+    )
+    qh, kh, vh = map(split, (q, k, v))
+    ref = attn_ops.cls_attention(qh[:, :1], kh, vh, scale)
+    ref = ref.reshape(B, h, 1, hd).transpose(0, 2, 1, 3).reshape(B, 1, C)
+
+    out = attn_ops.cls_attention_dense(q[:, :1], k, v, scale, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_motionformer_fused_path_matches_unfused(monkeypatch):
+    """Execute the model's FUSED branch on CPU (backend monkeypatched,
+    kernel in interpret mode) and compare against the unfused XLA
+    branch — covers the fused wiring itself: cls_attention_dense on
+    native-layout q/k/v, the [B,S,C] kernel operands, and the
+    cls/patch concat."""
+    from focus_tpu.models.build import build_model, init_model
+    from focus_tpu.ops.pallas import trajectory_block as tb
+
+    cfg = mf_cfg()
+    cfg.TPU.USE_PALLAS = True
+    model = build_model(cfg)
+    x, metadata = make_inputs(cfg)
+    variables = init_model(model, cfg, (x, metadata))
+    ref = model.apply(variables, x, metadata)  # cpu backend -> unfused
+
+    orig_core = tb.fused_trajectory_core
+    monkeypatch.setattr(
+        tb, "fused_trajectory_core",
+        lambda q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, interpret=False:
+        orig_core(q, kf, vf, wq2, bq2, wk2, bk2, scale, heads, True),
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fused = model.apply(variables, x, metadata)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=2e-5
+    )

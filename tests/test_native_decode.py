@@ -51,11 +51,20 @@ def test_native_decode_handles_missing_file(jpeg_files):
     native = pytest.importorskip("focus_tpu.native")
     if not native.available():
         pytest.skip("native decode unavailable")
+    # any decode failure -> None, so callers fall back to the retrying
+    # PIL path instead of silently shipping black frames (round-4
+    # advisor finding)
     out = native.decode_jpeg_batch(
         [jpeg_files[0], "/nonexistent/x.jpg"], 16, 16
     )
-    assert out.shape == (2, 16, 16, 3)
-    assert np.all(out[1] == 0)
+    assert out is None
+    out_u8 = native.decode_jpeg_batch_u8(
+        [jpeg_files[0], "/nonexistent/x.jpg"], 16, 16
+    )
+    assert out_u8 is None
+    # an all-good batch still decodes
+    ok = native.decode_jpeg_batch([jpeg_files[0]], 16, 16)
+    assert ok is not None and ok.shape == (1, 16, 16, 3)
 
 
 def test_jpeg_dims(jpeg_files):

@@ -1,0 +1,138 @@
+"""Fused AR-decode step (ops/pallas/ar_decode.py) vs the XLA KV-cached
+rollout, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from focus_tpu.config import get_cfg
+
+
+def tiny_steve_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "STEVE"
+    cfg.MODEL.CNN_NAME = "base"
+    cfg.SLOTS.IMG_SIZE = 16  # gen_len = (16//4)^2 = 16
+    cfg.SLOTS.NUM_SLOTS = 3
+    cfg.SLOTS.VOCAB_SIZE = 32
+    cfg.SLOTS.DECODER.DIM = 32
+    cfg.SLOTS.DECODER.NUM_BLOCKS = 2
+    cfg.SLOTS.DECODER.NUM_HEADS = 2
+    cfg.SLOTS.DECODER.DROPOUT = 0.0
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def steve_model():
+    from focus_tpu.models.build import build_model, init_model
+
+    cfg = tiny_steve_cfg()
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    video = jnp.asarray(rs.rand(2, 2, 16, 16, 3), jnp.float32)
+    variables = init_model(model, cfg, (video, 1.0, True))
+    return cfg, model, variables, video
+
+
+def test_fused_ar_ids_match_xla_cached(steve_model, monkeypatch):
+    """Fused-kernel rollout must produce the SAME token ids as the XLA
+    KV-cached scan (argmax sampling; both paths bf16-class math run here
+    in f32, so ids and pixels agree to float tolerance)."""
+    from focus_tpu.models.steve import steve as steve_mod
+    from focus_tpu.ops.pallas import ar_decode
+
+    cfg, model, variables, video = steve_model
+    B = 4  # B*T rollout rows
+    rs = np.random.RandomState(1)
+    slots = jnp.asarray(
+        rs.randn(B, cfg.SLOTS.NUM_SLOTS, cfg.SLOTS.DIM) * 0.5, jnp.float32
+    )
+
+    def ids_with(fused):
+        monkeypatch.setattr(ar_decode, "INTERPRET", True)
+        monkeypatch.setattr(
+            jax, "default_backend", (lambda: "tpu") if fused
+            else (lambda: "cpu"),
+        )
+        def run(mdl):
+            s = mdl.steve_encoder.slot_proj(slots)
+            gen_len = (cfg.SLOTS.IMG_SIZE // 4) ** 2
+            if fused:
+                return mdl._decode_ids_cached_fused(s, gen_len)
+            return mdl._decode_ids_cached(s, gen_len)
+
+        return model.apply(variables, method=run)
+
+    ids_ref = np.asarray(ids_with(False))
+    ids_fused = np.asarray(ids_with(True))
+    np.testing.assert_array_equal(ids_fused, ids_ref)
+
+
+def test_fused_ar_step_matches_decoder_body(steve_model, monkeypatch):
+    """Single fused step vs the Flax decoder body (cache path) at a
+    mid-rollout position: output y and cache rows must match."""
+    from focus_tpu.ops.pallas.ar_decode import (
+        fused_ar_step,
+        stack_decoder_params,
+    )
+
+    cfg, model, variables, video = steve_model
+    d = cfg.SLOTS.DECODER.DIM
+    nb = cfg.SLOTS.DECODER.NUM_BLOCKS
+    h = cfg.SLOTS.DECODER.NUM_HEADS
+    hd = d // h
+    B, L = 3, 9
+    t = 4
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(B, 1, d) * 0.5, jnp.float32)
+    slots = jnp.asarray(
+        rs.randn(B, cfg.SLOTS.NUM_SLOTS, d) * 0.5, jnp.float32
+    )
+    caches = tuple(
+        (jnp.asarray(rs.randn(B, L, h, hd) * 0.3, jnp.float32),
+         jnp.asarray(rs.randn(B, L, h, hd) * 0.3, jnp.float32))
+        for _ in range(nb)
+    )
+
+    def ref(mdl):
+        cross_kvs = mdl.steve_decoder.tf(x, slots, project_kv_only=True)
+        out, new_caches = mdl.steve_decoder.tf(
+            x, slots, caches=caches, t=t, cross_kvs=cross_kvs
+        )
+        return out, new_caches, cross_kvs
+
+    y_ref, caches_ref, cross_kvs = model.apply(variables, method=ref)
+
+    params = variables["params"]["steve_decoder"]["tf"]
+    wstack, lnp, bias, flnp = stack_decoder_params(
+        params, nb, dtype=jnp.float32
+    )
+    ckv = jnp.stack([
+        jnp.stack([k.reshape(B, -1, d), v.reshape(B, -1, d)])
+        for (k, v) in cross_kvs
+    ])
+    # kernel cache layout [nb, L, B, d]; rows >= t must not influence y
+    k_cache = jnp.stack(
+        [k.reshape(B, L, d).transpose(1, 0, 2) for k, _ in caches]
+    )
+    v_cache = jnp.stack(
+        [v.reshape(B, L, d).transpose(1, 0, 2) for _, v in caches]
+    )
+    y, k_new, v_new = fused_ar_step(
+        x[:, 0], t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
+        heads=h, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref[:, 0]), atol=2e-5
+    )
+    # cache row t must hold this step's k/v (match the flax cache)
+    for i in range(nb):
+        k_ref_i = caches_ref[i][0].reshape(B, L, d)
+        v_ref_i = caches_ref[i][1].reshape(B, L, d)
+        np.testing.assert_allclose(
+            np.asarray(k_new[i, t]), np.asarray(k_ref_i[:, t]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_new[i, t]), np.asarray(v_ref_i[:, t]), atol=2e-5
+        )
