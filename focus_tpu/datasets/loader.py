@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Iterator, Optional
 
@@ -131,6 +132,14 @@ class DataLoader:
         # multiple_samples_collate, loader.py:20-42)
         self.flatten_samples = flatten_samples
         self._proc_pool = None
+        # host-time bucket accounting (BENCH_NOTES round-5, loader
+        # decomposition): process_time seconds spent in (a) dataset
+        # fetch (decode+transform across worker threads; for the
+        # process backend this counts only the main process's share),
+        # (b) collate (_stack_tree + padding + flatten), (c) device_put
+        # (H2D; on the axon relay this includes per-batch
+        # serialization). Enable with collect_stats(); read loader.stats.
+        self.stats = None
         self.epoch = 0
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
@@ -139,6 +148,16 @@ class DataLoader:
             f"{self.process_count} processes"
         )
         self.local_batch_size = global_batch_size // self.process_count
+
+    def collect_stats(self) -> dict:
+        """Start accumulating host-time buckets; returns the live dict
+        (fetch_s / collate_s / device_put_s process-time seconds and a
+        sample counter)."""
+        self.stats = {
+            "fetch_s": 0.0, "collate_s": 0.0, "device_put_s": 0.0,
+            "samples": 0,
+        }
+        return self.stats
 
     def set_epoch(self, epoch: int) -> None:
         """Reseed the shuffle (reference loader.shuffle_dataset)."""
@@ -255,20 +274,31 @@ class DataLoader:
         )
 
         def run(fetch):
+            st = self.stats
+            clock = time.process_time
             for idx, pad_mask in batches:
                 if stop.is_set():
                     break
+                t0 = clock() if st is not None else 0.0
                 samples = fetch(idx)
+                t1 = clock() if st is not None else 0.0
                 batch = _stack_tree(samples)
                 batch = _mark_padded(batch, pad_mask)
                 if self.flatten_samples > 1:
                     batch = jax.tree_util.tree_map(
                         lambda a: a.reshape(-1, *a.shape[2:]), batch
                     )
+                t2 = clock() if st is not None else 0.0
                 if self.sharding is not None:
                     batch = jax.tree_util.tree_map(
                         lambda x: _put_global(x, self.sharding), batch
                     )
+                if st is not None:
+                    t3 = clock()
+                    st["fetch_s"] += t1 - t0
+                    st["collate_s"] += t2 - t1
+                    st["device_put_s"] += t3 - t2
+                    st["samples"] += len(idx)
                 out_q.put(batch)
 
         def produce():

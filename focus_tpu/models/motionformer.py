@@ -944,34 +944,11 @@ class Motionformer(nn.Module):
             )
 
         pipe = max(int(getattr(c.TPU.MESH, "PIPE", 1)), 1)
-        if pipe > 1:
-            orvit_layers = set(c.ORVIT.LAYERS) if c.ORVIT.ENABLE else set()
-            if orvit_layers:
-                raise ValueError(
-                    "TPU.MESH.PIPE > 1 needs a homogeneous block stack; "
-                    "ORViT interleave breaks stage homogeneity — use the "
-                    "data/model/seq axes for ORViT models"
-                )
-            micro = max(
-                int(getattr(c.TPU.MESH, "PIPE_MICROBATCHES", 0)), 0
-            ) or pipe
-            blocks = [
-                PipelinedTrajBlocks(
-                    stages=pipe, microbatches=micro, length=self.depth,
-                    dim=self.embed_dim, num_heads=c.MF.NUM_HEADS,
-                    mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
-                    drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
-                    dpr=tuple(dpr), use_pallas=use_pallas,
-                    fast_gelu=fast_gelu, int8_dense=int8_dense,
-                moe_experts=moe_experts,
-                    moe_capacity=moe_capacity,
-                    remat=bool(getattr(c.TPU, "REMAT", False)),
-                    dtype=self.dtype, name=f"blocks_0_{self.depth - 1}",
-                )
-            ]
-        else:
-            blocks = []
-        i = 0 if not blocks else self.depth
+        micro = max(
+            int(getattr(c.TPU.MESH, "PIPE_MICROBATCHES", 0)), 0
+        ) or pipe
+        blocks = []
+        i = 0
         while i < self.depth:
             if i in c.ORVIT.LAYERS:
                 blocks.append(make_orvit(i))
@@ -980,6 +957,32 @@ class Motionformer(nn.Module):
             j = i
             while j < self.depth and j not in c.ORVIT.LAYERS:
                 j += 1
+            if pipe > 1 and j - i >= pipe and (j - i) % pipe == 0:
+                # segmented pipelining (round-5, verdict #5): each
+                # maximal homogeneous trajectory segment runs as its own
+                # circular pipeline over the 'pipe' mesh axis; ORViT
+                # blocks (and segments shorter than the stage count) run
+                # replicated between segments on the data axes. For an
+                # ORViT-free stack this reduces to the round-3 design
+                # (one pipeline over the whole depth); for ORViT-MF it
+                # gives the flagship a real pp path at the cost of one
+                # fill/drain bubble per segment.
+                blocks.append(
+                    PipelinedTrajBlocks(
+                        stages=pipe, microbatches=micro, length=j - i,
+                        dim=self.embed_dim, num_heads=c.MF.NUM_HEADS,
+                        mlp_ratio=c.MF.MLP_RATIO, qkv_bias=c.MF.QKV_BIAS,
+                        drop=c.MF.DROP, attn_drop=c.MF.ATTN_DROPOUT,
+                        dpr=tuple(dpr[i:j]), use_pallas=use_pallas,
+                        fast_gelu=fast_gelu, int8_dense=int8_dense,
+                        moe_experts=moe_experts,
+                        moe_capacity=moe_capacity,
+                        remat=bool(getattr(c.TPU, "REMAT", False)),
+                        dtype=self.dtype, name=f"blocks_{i}_{j - 1}",
+                    )
+                )
+                i = j
+                continue
             if scan_layers and j - i > 1:
                 # consecutive identical blocks -> one scanned stack: the
                 # compiled program holds a single body (compile size/time

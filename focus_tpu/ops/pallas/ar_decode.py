@@ -33,9 +33,12 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 STAGES = 14
-BK = 32  # cache rows per DMA block
+BK = 16  # cache rows per DMA block (VMEM budget: the
+# per-head f32 attention temporaries scale with BK; 32 blew the
+# 128M scoped budget at the movi_e/base bench shape)
 # interpret-mode escape hatch for CPU parity tests (the model path calls
 # fused_ar_step without an interpret kwarg)
 INTERPRET = False
@@ -97,8 +100,10 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
     def _stage_k():
         k = jnp.dot(xn_ref[...], w, preferred_element_type=f32)
         kst_ref[0] = k.astype(kst_ref.dtype)
-        dma = pl.make_async_copy(
-            kst_ref, k_hbm.at[l, pl.ds(t, 1)], sems.at[0]
+        # write row t via the ALIASED OUTPUT ref (writes to the input
+        # ref are not guaranteed to reach the aliased output)
+        dma = pltpu.make_async_copy(
+            kst_ref, ko_hbm.at[l, pl.ds(t, 1)], sems.at[0]
         )
         dma.start()
         dma.wait()
@@ -107,77 +112,91 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
     def _stage_v_attn():
         v = jnp.dot(xn_ref[...], w, preferred_element_type=f32)
         vst_ref[0] = v.astype(vst_ref.dtype)
-        dma = pl.make_async_copy(
-            vst_ref, v_hbm.at[l, pl.ds(t, 1)], sems.at[1]
+        dma = pltpu.make_async_copy(
+            vst_ref, vo_hbm.at[l, pl.ds(t, 1)], sems.at[1]
         )
         dma.start()
         dma.wait()
 
         # streaming-softmax attention over cache rows [0, t) from HBM
-        # plus the current row from VMEM. Rows beyond t in the last
-        # block are masked.
-        qv = q_ref[...].astype(f32)  # [B, D], already scaled
-
-        def logits_of(blk32):
-            # [R, B, D] x [B, D] -> per-head dots [R, B, H]
-            prod = blk32 * qv[None]
-            return jnp.sum(
-                prod.reshape(blk32.shape[0], B, heads, hd), axis=-1
-            )
+        # plus the current row from VMEM. Per-head 2-D state everywhere
+        # (m/ssum [H, B], acc [H*B, hd]): Mosaic rejects arrays whose
+        # lane dim is the tiny head count. Head slices are taken on the
+        # REFS (vector loads) — lane-slicing a materialised value
+        # lowers as an unsupported gather.
 
         def body(i, carry):
-            m, ssum, acc = carry
-            cp_k = pl.make_async_copy(
+            m, ssum, acc = carry  # [H, B], [H, B], [H*B, hd]
+            cp_k = pltpu.make_async_copy(
                 k_hbm.at[l, pl.ds(i * bk, bk)], kb_ref, sems.at[2]
             )
-            cp_v = pl.make_async_copy(
+            cp_v = pltpu.make_async_copy(
                 v_hbm.at[l, pl.ds(i * bk, bk)], vb_ref, sems.at[3]
             )
             cp_k.start()
             cp_v.start()
             cp_k.wait()
             cp_v.wait()
-            kb32 = kb_ref[...].astype(f32)
-            lg = logits_of(kb32)  # [bk, B, H]
             rows = i * bk + jax.lax.broadcasted_iota(
-                jnp.int32, (bk, B, heads), 0
+                jnp.int32, (bk, B), 0
             )
-            lg = jnp.where(rows < t, lg, -jnp.inf)
-            bm = jnp.max(lg, axis=0)  # [B, H]
-            m_new = jnp.maximum(m, bm)
-            # exp(-inf - -inf) guard: m_new is finite once any row valid;
-            # for i==0, m=-inf -> scale term exp(m - m_new) handled by
-            # where below
-            alpha = jnp.where(
-                jnp.isfinite(m), jnp.exp(m - m_new), 0.0
+            m_parts, s_parts, a_parts = [], [], []
+            for hh in range(heads):
+                sl = slice(hh * hd, (hh + 1) * hd)
+                kb_h = kb_ref[:, :, sl].astype(f32)   # [bk, B, hd]
+                vb_h = vb_ref[:, :, sl].astype(f32)
+                q_h = q_ref[:, sl].astype(f32)        # [B, hd]
+                lg = jnp.sum(kb_h * q_h[None], axis=-1)  # [bk, B]
+                lg = jnp.where(rows < t, lg, -jnp.inf)
+                bm = jnp.max(lg, axis=0, keepdims=True)  # [1, B]
+                m_h = m[hh:hh + 1]
+                m_new = jnp.maximum(m_h, bm)
+                alpha = jnp.where(
+                    jnp.isfinite(m_h), jnp.exp(m_h - m_new), 0.0
+                )  # [1, B]
+                p = jnp.exp(lg - m_new)  # masked rows -> 0
+                s_new = ssum[hh:hh + 1] * alpha + jnp.sum(
+                    p, axis=0, keepdims=True
+                )
+                pv = jnp.sum(p[:, :, None] * vb_h, axis=0)  # [B, hd]
+                a_h = acc[hh * B:(hh + 1) * B]
+                a_new = a_h * alpha.reshape(B, 1) + pv
+                m_parts.append(m_new)
+                s_parts.append(s_new)
+                a_parts.append(a_new)
+            return (
+                jnp.concatenate(m_parts, axis=0),
+                jnp.concatenate(s_parts, axis=0),
+                jnp.concatenate(a_parts, axis=0),
             )
-            p = jnp.exp(lg - m_new[None])  # masked rows -> exp(-inf)=0
-            ssum_new = ssum * alpha + jnp.sum(p, axis=0)
-            pb = jnp.repeat(p, hd, axis=2)  # [bk, B, D] broadcast/head
-            pv = jnp.sum(pb * vb_ref[...].astype(f32), axis=0)  # [B, D]
-            acc_new = acc * jnp.repeat(alpha, hd, axis=1) + pv
-            return m_new, ssum_new, acc_new
 
-        m0 = jnp.full((B, heads), -jnp.inf, f32)
-        s0 = jnp.zeros((B, heads), f32)
-        a0 = jnp.zeros((B, D), f32)
+        m0 = jnp.full((heads, B), -jnp.inf, f32)
+        s0 = jnp.zeros((heads, B), f32)
+        a0 = jnp.zeros((heads * B, hd), f32)
         nblk = (t + bk - 1) // bk
         m, ssum, acc = jax.lax.fori_loop(0, nblk, body, (m0, s0, a0))
 
-        # current row (k/v just computed, still in VMEM)
-        lg_t = jnp.sum(
-            (kst_ref[0].astype(f32) * qv).reshape(B, heads, hd), axis=-1
-        )  # [B, H]
-        m_new = jnp.maximum(m, lg_t)
-        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
-        p_t = jnp.exp(lg_t - m_new)
-        ssum = ssum * alpha + p_t
-        acc = acc * jnp.repeat(alpha, hd, axis=1) + jnp.repeat(
-            p_t, hd, axis=1
-        ) * vst_ref[0].astype(f32)
-        ctx_ref[...] = (acc / jnp.repeat(ssum, hd, axis=1)).astype(
-            ctx_ref.dtype
-        )
+        # current row (k/v just computed, still in VMEM) + normalize
+        for hh in range(heads):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            kt_h = kst_ref[0, :, sl].astype(f32)   # [B, hd]
+            vt_h = vst_ref[0, :, sl].astype(f32)
+            q_h = q_ref[:, sl].astype(f32)
+            lg_t = jnp.sum(
+                kt_h * q_h, axis=-1, keepdims=True
+            ).T  # [1, B]
+            m_h = m[hh:hh + 1]
+            m_new = jnp.maximum(m_h, lg_t)
+            alpha = jnp.where(
+                jnp.isfinite(m_h), jnp.exp(m_h - m_new), 0.0
+            )
+            p_t = jnp.exp(lg_t - m_new)  # [1, B]
+            s_h = ssum[hh:hh + 1] * alpha + p_t
+            a_h = (
+                acc[hh * B:(hh + 1) * B] * alpha.reshape(B, 1)
+                + p_t.reshape(B, 1) * vt_h
+            )
+            ctx_ref[:, sl] = (a_h / s_h.reshape(B, 1)).astype(ctx_ref.dtype)
 
     @pl.when(s == 3)
     def _stage_o():
@@ -194,22 +213,29 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
         q2 = (
             jnp.dot(xn_ref[...], w, preferred_element_type=f32) * scale
         )  # [B, D]
-        kc = ckv_ref[0, 0].astype(f32)  # [B, S, D]
-        vc = ckv_ref[0, 1].astype(f32)
-        S = kc.shape[1]
-        lg = jnp.sum(
-            (kc * q2[:, None]).reshape(B, S, heads, hd), axis=-1
-        )  # [B, S, H]
-        m = jnp.max(lg, axis=1, keepdims=True)
-        p = jnp.exp(lg - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        pb = jnp.repeat(p, hd, axis=2)  # [B, S, D]
-        ctx_ref[...] = jnp.sum(pb * vc, axis=1).astype(ctx_ref.dtype)
+        # per-head 2-D softmax over the S slots (see self-attn note);
+        # head slices on the refs, cross-q staged via ctx scratch so the
+        # value needs no lane-dim slicing
+        ctx_ref[...] = q2.astype(ctx_ref.dtype)
+        for hh in range(heads):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            kc_h = ckv_ref[0, 0, :, :, sl].astype(f32)  # [B, S, hd]
+            vc_h = ckv_ref[0, 1, :, :, sl].astype(f32)
+            q2_h = ctx_ref[:, sl].astype(f32)           # [B, hd]
+            lg = jnp.sum(kc_h * q2_h[:, None], axis=-1)  # [B, S]
+            m = jnp.max(lg, axis=1, keepdims=True)
+            p = jnp.exp(lg - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            xn_ref[:, sl] = jnp.sum(
+                p[:, :, None] * vc_h, axis=1
+            ).astype(xn_ref.dtype)
 
     @pl.when(s == 5)
     def _stage_cross_o():
+        # the cross context was staged into xn_ref (ctx_ref holds the
+        # scaled cross-q used for the per-head ref slicing above)
         xs_ref[...] += jnp.dot(
-            ctx_ref[...], w, preferred_element_type=f32
+            xn_ref[...], w, preferred_element_type=f32
         )
 
     @pl.when(jnp.logical_and(s >= 6, s <= 9))
@@ -265,8 +291,6 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
     flnp: [2, D] final LN
     Returns (y [B, D], k_cache, v_cache).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     if interpret is None:
         interpret = INTERPRET
     nb = wstack.shape[0]
@@ -287,14 +311,14 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
             pl.BlockSpec((1, 6, D), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, 5, D), lambda l, s: (l, 0, 0)),
             pl.BlockSpec((1, 2, B, S, D), lambda l, s: (l, 0, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),            # k_cache
-            pl.BlockSpec(memory_space=pltpu.ANY),            # v_cache
+            pl.BlockSpec(memory_space=pl.ANY),            # k_cache
+            pl.BlockSpec(memory_space=pl.ANY),            # v_cache
             pl.BlockSpec((2, D), lambda l, s: (0, 0)),       # final LN
         ],
         out_specs=(
             pl.BlockSpec((B, D), lambda l, s: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, D), x.dtype),
@@ -317,7 +341,7 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )(t_arr, x, wstack, lnp, bias, ckv, k_cache, v_cache, flnp)
@@ -332,18 +356,19 @@ def stack_decoder_params(params, nb, dtype=jnp.bfloat16):
     for j in 0..3, fc2[jD:(j+1)D, :] for j in 0..3.
     """
     ws, lns, biases = [], [], []
+    kern = lambda m: m["linear"]["kernel"]  # common.Dense wraps nn.Dense
     for i in range(nb):
         blk = params[f"blocks_{i}"]
         sa, ca, ffn = (
             blk["self_attn"], blk["encoder_decoder_attn"], blk["ffn"]
         )
-        w1 = ffn["fc1"]["kernel"]
-        w2 = ffn["fc2"]["kernel"]
+        w1 = kern(ffn["fc1"])
+        w2 = kern(ffn["fc2"])
         D = w1.shape[0]
         chunks = [
-            sa["proj_q"]["kernel"], sa["proj_k"]["kernel"],
-            sa["proj_v"]["kernel"], sa["proj_o"]["kernel"],
-            ca["proj_q"]["kernel"], ca["proj_o"]["kernel"],
+            kern(sa["proj_q"]), kern(sa["proj_k"]),
+            kern(sa["proj_v"]), kern(sa["proj_o"]),
+            kern(ca["proj_q"]), kern(ca["proj_o"]),
             *[w1[:, j * D:(j + 1) * D] for j in range(4)],
             *[w2[j * D:(j + 1) * D, :] for j in range(4)],
         ]
@@ -356,10 +381,10 @@ def stack_decoder_params(params, nb, dtype=jnp.bfloat16):
             blk["ffn_layer_norm"]["scale"],
             blk["ffn_layer_norm"]["bias"],
         ]))
-        b1 = ffn["fc1"]["bias"]
+        b1 = ffn["fc1"]["linear"]["bias"]
         biases.append(jnp.stack(
             [b1[j * D:(j + 1) * D] for j in range(4)]
-            + [ffn["fc2"]["bias"]]
+            + [ffn["fc2"]["linear"]["bias"]]
         ))
     flnp = jnp.stack([
         params["layer_norm"]["scale"], params["layer_norm"]["bias"]

@@ -140,19 +140,34 @@ def main():
 
     eval_step(variables, video0, meta0["orvit_bboxes"]).block_until_ready()
 
+    stats = loader.collect_stats()
     n_clips = 0
+    h2d_cpu = 0.0
     t0 = time.perf_counter()
     cpu0 = time.process_time()
     out = None
     for batch in loader:
+        th0 = time.process_time()
         video = jnp.asarray(batch[0])
         boxes = jnp.asarray(batch[3]["orvit_bboxes"])
+        h2d_cpu += time.process_time() - th0
         out = eval_step(variables, video, boxes)
         n_clips += batch[1].shape[0]
     np.asarray(out)  # host fetch: the relay's block_until_ready may not wait
     dt = time.perf_counter() - t0
     cpu_dt = time.process_time() - cpu0
     cpu_per_clip = cpu_dt / n_clips
+    # bucket table (round-5 verdict #6): where the host CPU ms/clip goes
+    n = max(stats["samples"], 1)
+    other = cpu_dt - stats["fetch_s"] - stats["collate_s"] - h2d_cpu
+    print(
+        "host-time buckets (process_time ms/clip): "
+        f"dataset fetch {1000 * stats['fetch_s'] / n:.1f} | "
+        f"collate {1000 * stats['collate_s'] / n:.1f} | "
+        f"H2D/serialize {1000 * h2d_cpu / n_clips:.1f} | "
+        f"other(dispatch+fetch) {1000 * other / n_clips:.1f}",
+        flush=True,
+    )
     device_rate = 132.0  # device-resident erf-gelu bench (BENCH_NOTES r4)
     for vcpus in (1, 8, 100, 200):
         proj = min(device_rate, vcpus / cpu_per_clip)

@@ -111,16 +111,62 @@ def test_pipeline_layout_roundtrip():
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(other))
 
 
-def test_pipeline_requires_homogeneous_stack():
-    cfg = _plain_mf_cfg(pipe=2)
+def _orvit_mf_cfg(pipe=1, model_axis=1, microbatches=0, depth=6):
+    """Tiny ORViT-MF: ORViT at layer 1 -> traj segments [0] and [2..5];
+    the 4-layer segment pipelines over 2 stages (segmented pipelining,
+    round 5) while the ORViT block runs replicated between segments."""
+    cfg = _plain_mf_cfg(
+        pipe=pipe, model_axis=model_axis, microbatches=microbatches,
+        depth=depth,
+    )
     cfg.ORVIT.ENABLE = True
     cfg.ORVIT.LAYERS = [1]
+    return cfg
+
+
+def _boxes(B):
+    rs = np.random.RandomState(3)
+    return (rs.rand(B, 2, 4, 4) * 0.5 + 0.25).astype(np.float32)
+
+
+def test_pipeline_orvit_segment_matches_scanned():
+    """Segmented pipelining with an ORViT interleave: identical weights
+    -> identical logits vs the non-pp stack (the flagship's pp path,
+    round-4 verdict #5)."""
+    video = _video(B=4)
+    meta = {"orvit_bboxes": _boxes(4)}
+    cfg_s = _orvit_mf_cfg(pipe=1)
+    model_s = build_model(cfg_s)
+    variables = model_s.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        video, meta,
+    )
+    out_s = model_s.apply(variables, video, meta)
+
+    cfg_p = _orvit_mf_cfg(pipe=2, microbatches=2)
+    model_p = build_model(cfg_p)
+    params_p = pipe_lib.to_pipelined(variables["params"], stages=2)
+    out_p = model_p.apply({"params": params_p}, video, meta)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_s), atol=1e-5
+    )
+
+
+def test_pipeline_short_segments_fall_back():
+    """Segments shorter than the stage count (and ORViT blocks) run
+    unpipelined — the build must not error and params must hold exactly
+    one pipelined stack for the 4-layer segment."""
+    cfg = _orvit_mf_cfg(pipe=2)
     model = build_model(cfg)
-    with pytest.raises(ValueError, match="homogeneous"):
-        model.init(
-            {"params": jax.random.PRNGKey(0)}, _video(B=2),
-            {"orvit_bboxes": np.zeros((2, 2, 4, 4), np.float32)},
-        )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        _video(B=2), {"orvit_bboxes": _boxes(2)},
+    )
+    params = variables["params"]["encoder"] if "encoder" in variables[
+        "params"] else variables["params"]
+    names = set(params)
+    assert "blocks_2_5" in names  # the pipelined segment
+    assert pipe_lib.pipelined_stages(variables["params"]) == 2
 
 
 def _scanned_init_params(video):

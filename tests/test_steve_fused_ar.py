@@ -20,6 +20,10 @@ def tiny_steve_cfg():
     cfg.SLOTS.DECODER.NUM_BLOCKS = 2
     cfg.SLOTS.DECODER.NUM_HEADS = 2
     cfg.SLOTS.DECODER.DROPOUT = 0.0
+    # f32 so the XLA path doesn't round at bf16 between ops — the fused
+    # kernel's accumulation is f32 throughout, and the parity claim is
+    # exactness at matched precision
+    cfg.TPU.COMPUTE_DTYPE = "float32"
     return cfg
 
 
