@@ -391,9 +391,15 @@ class STEVE(nn.Module):
             self.steve_decoder.bos.astype(dtype), (B, 1, d)
         )
         params = self.steve_decoder.tf.variables["params"]
+        head_w = self.steve_decoder.head.variables[
+            "params"]["linear"]["kernel"]
+        dict_w = self.steve_decoder.dict_emb.variables[
+            "params"]["embedding"]
+        nh = head_w.shape[1] // d
         wstack, lnp, bias, flnp = stack_decoder_params(
-            params, nb, dtype=dtype
+            params, nb, head_w=head_w, dict_emb=dict_w, dtype=dtype
         )
+        pos = self.steve_decoder.pos.pe[0, :L].astype(jnp.float32)
         cross_kvs = self.steve_decoder.tf(bos, slots, project_kv_only=True)
         ckv = jnp.stack([
             jnp.stack([k.reshape(B, -1, d), v.reshape(B, -1, d)])
@@ -403,16 +409,12 @@ class STEVE(nn.Module):
         v_cache = jnp.zeros((nb, L, B, d), dtype)
 
         def step(mdl, carry, t):
-            x_t, kc, vc = carry
-            x = mdl.steve_decoder.pos.at(x_t, t)  # [B, 1, d]
-            y, kc, vc = fused_ar_step(
-                x[:, 0].astype(dtype), t, wstack, lnp, bias, ckv, kc,
-                vc, flnp, heads=h,
+            x_t, kc, vc = carry  # x_t: raw embedding (pos added in-kernel)
+            nx, z, kc, vc = fused_ar_step(
+                x_t[:, 0].astype(dtype), t, wstack, lnp, bias, ckv, kc,
+                vc, flnp, pos, heads=h, nh=nh,
             )
-            logits = mdl.steve_decoder.head(y[:, None])
-            z_id = jnp.argmax(logits, axis=-1)  # [B, 1]
-            emb = mdl.steve_decoder.dict_emb(z_id).astype(x_t.dtype)
-            return (emb, kc, vc), z_id[:, 0]
+            return (nx[:, None], kc, vc), z[:, 0]
 
         scan = nn.scan(
             step,

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 STAGES = 14
-BK = 16  # cache rows per DMA block (VMEM budget: the
+BK = 32  # cache rows per DMA block (VMEM budget note: the
 # per-head f32 attention temporaries scale with BK; 32 blew the
 # 128M scoped budget at the movi_e/base bench shape)
 # interpret-mode escape hatch for CPU parity tests (the model path calls
@@ -51,16 +51,20 @@ def _ln(x32, gamma, beta, eps=1e-6):
 
 
 def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
-                    k_hbm, v_hbm, flnp_ref,
-                    y_ref, ko_hbm, vo_hbm,
+                    k_hbm, v_hbm, flnp_ref, pos_ref,
+                    nx_ref, z_ref, ko_hbm, vo_hbm,
                     xs_ref, xn_ref, q_ref, kst_ref, vst_ref, ctx_ref,
-                    h_ref, ffa_ref, kb_ref, vb_ref, sems,
-                    *, nb, heads, bk):
-    """One decoded token through the full decoder stack.
-
-    Grid (layer l, stage s); stages per layer:
+                    h_ref, ffa_ref, kb_ref, vb_ref, lg_ref, zi_ref, sems,
+                    *, nb, heads, bk, nh):
+    """One decoded token through the full decoder stack AND the token
+    head: grid row l < nb runs layer l's 14 stages
       0 q | 1 k | 2 v (+ self-attention over the cache) | 3 o |
-      4 cross-q (+ cross-attention) | 5 cross-o | 6-9 fc1 | 10-13 fc2.
+      4 cross-q (+ cross-attention) | 5 cross-o | 6-9 fc1 | 10-13 fc2;
+    grid row l == nb is the HEAD row: s < nh computes vocab-logit chunk
+    s, s == nh takes the argmax (emitting z_ref) and s in [nh, 2nh)
+    accumulates the next token's dictionary embedding as one-hot MXU
+    matmuls — so the whole decode step is ONE kernel launch and the
+    scan body carries (next_x, caches) with no per-step XLA ops.
     """
     l = pl.program_id(0)
     s = pl.program_id(1)
@@ -69,18 +73,18 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
     B, D = x_ref.shape
     hd = D // heads
     scale = hd ** -0.5
-    w = w_ref[0, 0]
 
     @pl.when(jnp.logical_and(l == 0, s == 0))
     def _init_stream():
         # is_first quirk (reference STEVE/transformer.py:75-82): layer
-        # 0's residual stream starts from the NORMED input
+        # 0's residual stream starts from the NORMED input; the learned
+        # positional row t is added here (the XLA path's pos.at)
+        xin = x_ref[...].astype(f32) + pos_ref[pl.ds(t, 1)].astype(f32)
         xs_ref[...] = _ln(
-            x_ref[...].astype(f32), lnp_ref[0, 0].astype(f32),
-            lnp_ref[0, 1].astype(f32),
+            xin, lnp_ref[0, 0].astype(f32), lnp_ref[0, 1].astype(f32),
         )
 
-    @pl.when(s == 0)
+    @pl.when(jnp.logical_and(s == 0, l < nb))
     def _stage_q():
         @pl.when(l == 0)
         def _first():
@@ -93,12 +97,12 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
                 lnp_ref[0, 1].astype(f32),
             ).astype(xn_ref.dtype)
 
-        q = jnp.dot(xn_ref[...], w, preferred_element_type=f32)
+        q = jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32)
         q_ref[...] = (q * scale).astype(q_ref.dtype)
 
-    @pl.when(s == 1)
+    @pl.when(jnp.logical_and(s == 1, l < nb))
     def _stage_k():
-        k = jnp.dot(xn_ref[...], w, preferred_element_type=f32)
+        k = jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32)
         kst_ref[0] = k.astype(kst_ref.dtype)
         # write row t via the ALIASED OUTPUT ref (writes to the input
         # ref are not guaranteed to reach the aliased output)
@@ -108,9 +112,9 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
         dma.start()
         dma.wait()
 
-    @pl.when(s == 2)
+    @pl.when(jnp.logical_and(s == 2, l < nb))
     def _stage_v_attn():
-        v = jnp.dot(xn_ref[...], w, preferred_element_type=f32)
+        v = jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32)
         vst_ref[0] = v.astype(vst_ref.dtype)
         dma = pltpu.make_async_copy(
             vst_ref, vo_hbm.at[l, pl.ds(t, 1)], sems.at[1]
@@ -125,26 +129,51 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
         # REFS (vector loads) — lane-slicing a materialised value
         # lowers as an unsupported gather.
 
+        # double-buffered cache stream: block i+1's DMA is in flight
+        # while block i computes (slot = i % 2)
+        def start_block(i, slot):
+            pltpu.make_async_copy(
+                k_hbm.at[l, pl.ds(i * bk, bk)], kb_ref.at[slot],
+                sems.at[2 + slot],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[l, pl.ds(i * bk, bk)], vb_ref.at[slot],
+                sems.at[4 + slot],
+            ).start()
+
+        def wait_block(i, slot):
+            pltpu.make_async_copy(
+                k_hbm.at[l, pl.ds(i * bk, bk)], kb_ref.at[slot],
+                sems.at[2 + slot],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[l, pl.ds(i * bk, bk)], vb_ref.at[slot],
+                sems.at[4 + slot],
+            ).wait()
+
+        nblk = (t + bk - 1) // bk
+
+        @pl.when(nblk > 0)
+        def _prologue():
+            start_block(0, 0)
+
         def body(i, carry):
             m, ssum, acc = carry  # [H, B], [H, B], [H*B, hd]
-            cp_k = pltpu.make_async_copy(
-                k_hbm.at[l, pl.ds(i * bk, bk)], kb_ref, sems.at[2]
-            )
-            cp_v = pltpu.make_async_copy(
-                v_hbm.at[l, pl.ds(i * bk, bk)], vb_ref, sems.at[3]
-            )
-            cp_k.start()
-            cp_v.start()
-            cp_k.wait()
-            cp_v.wait()
+            slot = jax.lax.rem(i, 2)
+            wait_block(i, slot)
+
+            @pl.when(i + 1 < nblk)
+            def _prefetch_next():
+                start_block(i + 1, 1 - slot)
+
             rows = i * bk + jax.lax.broadcasted_iota(
                 jnp.int32, (bk, B), 0
             )
             m_parts, s_parts, a_parts = [], [], []
             for hh in range(heads):
                 sl = slice(hh * hd, (hh + 1) * hd)
-                kb_h = kb_ref[:, :, sl].astype(f32)   # [bk, B, hd]
-                vb_h = vb_ref[:, :, sl].astype(f32)
+                kb_h = kb_ref[slot, :, :, sl].astype(f32)  # [bk, B, hd]
+                vb_h = vb_ref[slot, :, :, sl].astype(f32)
                 q_h = q_ref[:, sl].astype(f32)        # [B, hd]
                 lg = jnp.sum(kb_h * q_h[None], axis=-1)  # [bk, B]
                 lg = jnp.where(rows < t, lg, -jnp.inf)
@@ -173,7 +202,6 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
         m0 = jnp.full((heads, B), -jnp.inf, f32)
         s0 = jnp.zeros((heads, B), f32)
         a0 = jnp.zeros((heads * B, hd), f32)
-        nblk = (t + bk - 1) // bk
         m, ssum, acc = jax.lax.fori_loop(0, nblk, body, (m0, s0, a0))
 
         # current row (k/v just computed, still in VMEM) + normalize
@@ -198,20 +226,20 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
             )
             ctx_ref[:, sl] = (a_h / s_h.reshape(B, 1)).astype(ctx_ref.dtype)
 
-    @pl.when(s == 3)
+    @pl.when(jnp.logical_and(s == 3, l < nb))
     def _stage_o():
         xs_ref[...] += jnp.dot(
-            ctx_ref[...], w, preferred_element_type=f32
+            ctx_ref[...], w_ref[0, 0], preferred_element_type=f32
         )
 
-    @pl.when(s == 4)
+    @pl.when(jnp.logical_and(s == 4, l < nb))
     def _stage_cross_q():
         xn_ref[...] = _ln(
             xs_ref[...], lnp_ref[0, 2].astype(f32),
             lnp_ref[0, 3].astype(f32),
         ).astype(xn_ref.dtype)
         q2 = (
-            jnp.dot(xn_ref[...], w, preferred_element_type=f32) * scale
+            jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32) * scale
         )  # [B, D]
         # per-head 2-D softmax over the S slots (see self-attn note);
         # head slices on the refs, cross-q staged via ctx scratch so the
@@ -230,15 +258,15 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
                 p[:, :, None] * vc_h, axis=1
             ).astype(xn_ref.dtype)
 
-    @pl.when(s == 5)
+    @pl.when(jnp.logical_and(s == 5, l < nb))
     def _stage_cross_o():
         # the cross context was staged into xn_ref (ctx_ref holds the
         # scaled cross-q used for the per-head ref slicing above)
         xs_ref[...] += jnp.dot(
-            xn_ref[...], w, preferred_element_type=f32
+            xn_ref[...], w_ref[0, 0], preferred_element_type=f32
         )
 
-    @pl.when(jnp.logical_and(s >= 6, s <= 9))
+    @pl.when(jnp.logical_and(jnp.logical_and(s >= 6, s <= 9), l < nb))
     def _stage_fc1():
         @pl.when(s == 6)
         def _ln3():
@@ -249,14 +277,14 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
 
         j = s - 6
         hpart = jnp.dot(
-            xn_ref[...], w, preferred_element_type=f32
+            xn_ref[...], w_ref[0, 0], preferred_element_type=f32
         ) + bias_ref[0, j].astype(f32)
         h_ref[j] = jnp.maximum(hpart, 0.0).astype(h_ref.dtype)
 
-    @pl.when(jnp.logical_and(s >= 10, s <= 13))
+    @pl.when(jnp.logical_and(jnp.logical_and(s >= 10, s <= 13), l < nb))
     def _stage_fc2():
         j = s - 10
-        part = jnp.dot(h_ref[j], w, preferred_element_type=f32)
+        part = jnp.dot(h_ref[j], w_ref[0, 0], preferred_element_type=f32)
 
         @pl.when(s == 10)
         def _set():
@@ -272,60 +300,127 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
 
             @pl.when(l == nb - 1)
             def _final_ln():
-                y_ref[...] = _ln(
+                xn_ref[...] = _ln(
                     xs_ref[...], flnp_ref[0].astype(f32),
                     flnp_ref[1].astype(f32),
-                ).astype(y_ref.dtype)
+                ).astype(xn_ref.dtype)
+
+    # ---- head row (l == nb): logits -> argmax -> dict embedding ----
+    @pl.when(jnp.logical_and(l == nb, s < nh))
+    def _head_logits():
+        lg_ref[s] = jnp.dot(
+            xn_ref[...], w_ref[0, 0], preferred_element_type=f32
+        )
+
+    @pl.when(jnp.logical_and(l == nb, s == nh))
+    def _head_argmax():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
+        mx = jnp.max(lg_ref[0], axis=-1, keepdims=True)
+        for j in range(1, nh):
+            mx = jnp.maximum(
+                mx, jnp.max(lg_ref[j], axis=-1, keepdims=True)
+            )
+        big = jnp.int32(nh * D)
+        z = jnp.min(
+            jnp.where(lg_ref[0] == mx, lane, big), axis=-1, keepdims=True
+        )
+        for j in range(1, nh):
+            z = jnp.minimum(z, jnp.min(
+                jnp.where(lg_ref[j] == mx, lane + j * D, big),
+                axis=-1, keepdims=True,
+            ))
+        zi_ref[...] = z
+        z_ref[...] = z
+
+    @pl.when(jnp.logical_and(
+        l == nb, jnp.logical_and(s >= nh, s < 2 * nh)
+    ))
+    def _head_embed():
+        j = s - nh
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
+        oh = (lane + j * D == zi_ref[...]).astype(x_ref.dtype)
+        part = jnp.dot(oh, w_ref[0, 0], preferred_element_type=f32)
+
+        @pl.when(s == nh)
+        def _set():
+            ffa_ref[...] = part
+
+        @pl.when(s > nh)
+        def _acc():
+            ffa_ref[...] += part
+
+        @pl.when(s == 2 * nh - 1)
+        def _emit():
+            nx_ref[...] = ffa_ref[...].astype(nx_ref.dtype)
 
 
 def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
-                  heads, interpret=None):
-    """One fused decode step.
+                  pos, heads, nh, interpret=None):
+    """One fused decode step (decoder body + token head, one launch).
 
-    x: [B, D] current token embedding (pos applied, bf16/f32)
+    x: [B, D] current token embedding (RAW — pos row t is added inside)
     t: int32 scalar step index
-    wstack: [nb, 14, D, D] weight chunks (see module docstring)
+    wstack: [nb + 1, 14, D, D] weight chunks; rows 0..nb-1 are layer
+      chunks (see module docstring), row nb holds the head kernel's nh
+      [D, D] column chunks then the dictionary's nh row chunks
     lnp: [nb, 6, D] LN scale/bias x3; bias: [nb, 5, D] fc1 x4 + fc2
     ckv: [nb, 2, B, S, D] hoisted cross-attention K/V
     k_cache/v_cache: [nb, L, B, D] (donated, aliased to outputs)
-    flnp: [2, D] final LN
-    Returns (y [B, D], k_cache, v_cache).
+    flnp: [2, D] final LN; pos: [L, D] positional table
+    nh: vocab chunks (V // D)
+    Returns (next_x [B, D], z [B, 1] int32, k_cache, v_cache).
     """
     if interpret is None:
         interpret = INTERPRET
-    nb = wstack.shape[0]
+    nb = wstack.shape[0] - 1
     B, D = x.shape
     L = k_cache.shape[1]
     S = ckv.shape[3]
     bk = min(BK, L)
     t_arr = jnp.asarray(t, jnp.int32).reshape(1)
 
-    grid = (nb, STAGES)
+    grid = (nb + 1, STAGES)
+
+    def w_index(l, s):
+        # head row: chunks 0..2nh-1 (clamped so the zero-padded tail is
+        # never streamed)
+        return (
+            l, jnp.where(l == nb, jnp.minimum(s, 2 * nh - 1), s), 0, 0
+        )
+
+    clamp_l = lambda l: jnp.minimum(l, nb - 1)
     out = pl.pallas_call(
-        functools.partial(_ar_step_kernel, nb=nb, heads=heads, bk=bk),
+        functools.partial(
+            _ar_step_kernel, nb=nb, heads=heads, bk=bk, nh=nh
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # t
             pl.BlockSpec((B, D), lambda l, s: (0, 0)),       # x
-            pl.BlockSpec((1, 1, D, D), lambda l, s: (l, s, 0, 0)),
-            pl.BlockSpec((1, 6, D), lambda l, s: (l, 0, 0)),
-            pl.BlockSpec((1, 5, D), lambda l, s: (l, 0, 0)),
-            pl.BlockSpec((1, 2, B, S, D), lambda l, s: (l, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, D, D), w_index),
+            pl.BlockSpec((1, 6, D), lambda l, s: (clamp_l(l), 0, 0)),
+            pl.BlockSpec((1, 5, D), lambda l, s: (clamp_l(l), 0, 0)),
+            pl.BlockSpec(
+                (1, 2, B, S, D), lambda l, s: (clamp_l(l), 0, 0, 0, 0)
+            ),
             pl.BlockSpec(memory_space=pl.ANY),            # k_cache
             pl.BlockSpec(memory_space=pl.ANY),            # v_cache
             pl.BlockSpec((2, D), lambda l, s: (0, 0)),       # final LN
+            pl.BlockSpec((L, D), lambda l, s: (0, 0)),       # pos table
         ],
         out_specs=(
-            pl.BlockSpec((B, D), lambda l, s: (0, 0)),
+            pl.BlockSpec((B, D), lambda l, s: (0, 0)),       # next x
+            pl.BlockSpec((B, 1), lambda l, s: (0, 0)),       # z ids
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ),
-        input_output_aliases={6: 1, 7: 2},
+        input_output_aliases={6: 2, 7: 3},
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),        # xs (residual)
             pltpu.VMEM((B, D), x.dtype),            # xn
@@ -335,25 +430,32 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
             pltpu.VMEM((B, D), x.dtype),            # ctx
             pltpu.VMEM((4, B, D), x.dtype),         # FFN hidden chunks
             pltpu.VMEM((B, D), jnp.float32),        # FFN accumulator
-            pltpu.VMEM((bk, B, D), k_cache.dtype),  # k block buffer
-            pltpu.VMEM((bk, B, D), v_cache.dtype),  # v block buffer
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, bk, B, D), k_cache.dtype),  # k block slots
+            pltpu.VMEM((2, bk, B, D), v_cache.dtype),  # v block slots
+            pltpu.VMEM((nh, B, D), jnp.float32),    # vocab logit chunks
+            pltpu.VMEM((B, 1), jnp.int32),          # argmax ids
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(t_arr, x, wstack, lnp, bias, ckv, k_cache, v_cache, flnp)
+    )(t_arr, x, wstack, lnp, bias, ckv, k_cache, v_cache, flnp, pos)
     return out
 
 
-def stack_decoder_params(params, nb, dtype=jnp.bfloat16):
+def stack_decoder_params(params, nb, head_w=None, dict_emb=None,
+                         dtype=jnp.bfloat16):
     """Build the kernel's stacked operands from the TransformerDecoder
     param tree ({'blocks_i': {...}, 'layer_norm': {...}}).
 
     Chunk order per layer: q, k, v, o, cross-q, cross-o, fc1[:, jD:(j+1)D]
-    for j in 0..3, fc2[jD:(j+1)D, :] for j in 0..3.
+    for j in 0..3, fc2[jD:(j+1)D, :] for j in 0..3. When ``head_w``
+    ([D, V]) and ``dict_emb`` ([V, D]) are given, a final HEAD row is
+    appended: nh = V // D head column chunks, then nh dictionary row
+    chunks, zero-padded to 14 (the zero tail is never streamed — the
+    wrapper's index map clamps).
     """
     ws, lns, biases = [], [], []
     kern = lambda m: m["linear"]["kernel"]  # common.Dense wraps nn.Dense
@@ -389,9 +491,18 @@ def stack_decoder_params(params, nb, dtype=jnp.bfloat16):
     flnp = jnp.stack([
         params["layer_norm"]["scale"], params["layer_norm"]["bias"]
     ]).astype(jnp.float32)
+    if head_w is not None:
+        D = head_w.shape[0]
+        nh = head_w.shape[1] // D
+        row = (
+            [head_w[:, j * D:(j + 1) * D] for j in range(nh)]
+            + [dict_emb[j * D:(j + 1) * D, :] for j in range(nh)]
+        )
+        row += [jnp.zeros((D, D), row[0].dtype)] * (STAGES - len(row))
+        ws.append(jnp.stack(row))
     return (
         jnp.stack(ws).astype(dtype),
-        jnp.stack(lns).astype(jnp.float32),
-        jnp.stack(biases).astype(jnp.float32),
+        jnp.stack(lns[:nb]).astype(jnp.float32),
+        jnp.stack(biases[:nb]).astype(jnp.float32),
         flnp,
     )

@@ -74,8 +74,8 @@ def test_fused_ar_ids_match_xla_cached(steve_model, monkeypatch):
 
 
 def test_fused_ar_step_matches_decoder_body(steve_model, monkeypatch):
-    """Single fused step vs the Flax decoder body (cache path) at a
-    mid-rollout position: output y and cache rows must match."""
+    """Single fused step vs the Flax decoder body + head + dict embed
+    at a mid-rollout position: next-x, ids and cache rows must match."""
     from focus_tpu.ops.pallas.ar_decode import (
         fused_ar_step,
         stack_decoder_params,
@@ -100,17 +100,28 @@ def test_fused_ar_step_matches_decoder_body(steve_model, monkeypatch):
     )
 
     def ref(mdl):
-        cross_kvs = mdl.steve_decoder.tf(x, slots, project_kv_only=True)
+        xp = mdl.steve_decoder.pos.at(x, t)  # kernel adds pos in-step
+        cross_kvs = mdl.steve_decoder.tf(xp, slots, project_kv_only=True)
         out, new_caches = mdl.steve_decoder.tf(
-            x, slots, caches=caches, t=t, cross_kvs=cross_kvs
+            xp, slots, caches=caches, t=t, cross_kvs=cross_kvs
         )
-        return out, new_caches, cross_kvs
+        logits = mdl.steve_decoder.head(out)
+        z_id = jnp.argmax(logits, axis=-1)
+        emb = mdl.steve_decoder.dict_emb(z_id)
+        pos_tab = mdl.steve_decoder.pos.pe[0]
+        return emb, z_id, new_caches, cross_kvs, pos_tab
 
-    y_ref, caches_ref, cross_kvs = model.apply(variables, method=ref)
+    nx_ref, z_ref, caches_ref, cross_kvs, pos_tab = model.apply(
+        variables, method=ref
+    )
 
     params = variables["params"]["steve_decoder"]["tf"]
+    head_w = variables["params"]["steve_decoder"]["head"]["linear"][
+        "kernel"]
+    dict_w = variables["params"]["steve_decoder"]["dict"]["embedding"]
+    nh = head_w.shape[1] // d
     wstack, lnp, bias, flnp = stack_decoder_params(
-        params, nb, dtype=jnp.float32
+        params, nb, head_w=head_w, dict_emb=dict_w, dtype=jnp.float32
     )
     ckv = jnp.stack([
         jnp.stack([k.reshape(B, -1, d), v.reshape(B, -1, d)])
@@ -123,12 +134,14 @@ def test_fused_ar_step_matches_decoder_body(steve_model, monkeypatch):
     v_cache = jnp.stack(
         [v.reshape(B, L, d).transpose(1, 0, 2) for _, v in caches]
     )
-    y, k_new, v_new = fused_ar_step(
+    nx, z, k_new, v_new = fused_ar_step(
         x[:, 0], t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
-        heads=h, interpret=True,
+        jnp.asarray(pos_tab[:L], jnp.float32), heads=h, nh=nh,
+        interpret=True,
     )
+    np.testing.assert_array_equal(np.asarray(z)[:, 0], np.asarray(z_ref)[:, 0])
     np.testing.assert_allclose(
-        np.asarray(y), np.asarray(y_ref[:, 0]), atol=2e-5
+        np.asarray(nx), np.asarray(nx_ref[:, 0]), atol=2e-5
     )
     # cache row t must hold this step's k/v (match the flax cache)
     for i in range(nb):
