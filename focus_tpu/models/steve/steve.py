@@ -313,6 +313,13 @@ class STEVE(nn.Module):
             fused = (
                 bool(getattr(self.cfg.TPU, "FUSED_AR_STEP", True))
                 and _jax.default_backend() in ("tpu", "axon")
+                # the fused step wins where the AR chain is
+                # latency/weight-stream-bound (small rollout batches);
+                # at large batches the XLA scan's matmuls amortise the
+                # weight stream over more rows and win (measured:
+                # B*T=32 fused 69.2 vs XLA 57.3 fps; B*T=128 fused
+                # 75.8 vs XLA 116.1 — BENCH_NOTES round 5)
+                and slots.shape[0] <= 64
             )
             if fused:
                 z_ids = self._decode_ids_cached_fused(slots, gen_len)
@@ -399,6 +406,15 @@ class STEVE(nn.Module):
         wstack, lnp, bias, flnp = stack_decoder_params(
             params, nb, head_w=head_w, dict_emb=dict_w, dtype=dtype
         )
+        wscale = None
+        if bool(getattr(self.cfg.TPU, "INT8_SERVING", False)):
+            # W8A16 rollout (labeled variant, INT8_SERVING class): the
+            # AR step is weight-HBM-bound, so int8 weight streaming
+            # halves its floor; per-output-column scales dequant
+            # in-kernel before the bf16 MXU dots
+            from focus_tpu.ops.pallas.ar_decode import quantize_wstack
+
+            wstack, wscale = quantize_wstack(wstack)
         pos = self.steve_decoder.pos.pe[0, :L].astype(jnp.float32)
         cross_kvs = self.steve_decoder.tf(bos, slots, project_kv_only=True)
         ckv = jnp.stack([
@@ -412,7 +428,7 @@ class STEVE(nn.Module):
             x_t, kc, vc = carry  # x_t: raw embedding (pos added in-kernel)
             nx, z, kc, vc = fused_ar_step(
                 x_t[:, 0].astype(dtype), t, wstack, lnp, bias, ckv, kc,
-                vc, flnp, pos, heads=h, nh=nh,
+                vc, flnp, pos, heads=h, nh=nh, wscale=wscale,
             )
             return (nx[:, None], kc, vc), z[:, 0]
 

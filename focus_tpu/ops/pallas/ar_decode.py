@@ -51,11 +51,40 @@ def _ln(x32, gamma, beta, eps=1e-6):
 
 
 def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
-                    k_hbm, v_hbm, flnp_ref, pos_ref,
-                    nx_ref, z_ref, ko_hbm, vo_hbm,
-                    xs_ref, xn_ref, q_ref, kst_ref, vst_ref, ctx_ref,
-                    h_ref, ffa_ref, kb_ref, vb_ref, lg_ref, zi_ref, sems,
-                    *, nb, heads, bk, nh):
+                    k_hbm, v_hbm, flnp_ref, pos_ref, *rest,
+                    nb, heads, bk, nh, int8=False):
+    if int8:
+        (wsc_ref, nx_ref, z_ref, ko_hbm, vo_hbm,
+         xs_ref, xn_ref, q_ref, kst_ref, vst_ref, ctx_ref,
+         h_ref, ffa_ref, kb_ref, vb_ref, lg_ref, zi_ref, sems) = rest
+    else:
+        (nx_ref, z_ref, ko_hbm, vo_hbm,
+         xs_ref, xn_ref, q_ref, kst_ref, vst_ref, ctx_ref,
+         h_ref, ffa_ref, kb_ref, vb_ref, lg_ref, zi_ref, sems) = rest
+
+    def mm(a):
+        """a @ (this cell's [D, D] weight chunk) -> f32.
+
+        int8 mode is W8A8: the activation rows quantize dynamically
+        (per-row amax/127) and the dot runs int8 x int8 -> int32 on
+        the MXU, rescaled by row x column scales — weight HBM stream
+        halved AND no VPU dequant sweep (the W8A16
+        dequant-to-bf16 form measured 2x SLOWER than bf16: the int8 ->
+        bf16 unpack is a VPU sweep over every streamed chunk,
+        BENCH_NOTES round 5). Same numerics class as the eval-side
+        INT8_SERVING (dynamic W8A8)."""
+        f32_ = jnp.float32
+        if int8:
+            af = a.astype(f32_)
+            amax = jnp.max(jnp.abs(af), axis=-1, keepdims=True)
+            asc = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+            ai = jnp.round(af / asc).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                ai, w_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc.astype(f32_) * asc * wsc_ref[0, 0].astype(f32_)
+        return jnp.dot(a, w_ref[0, 0], preferred_element_type=f32_)
     """One decoded token through the full decoder stack AND the token
     head: grid row l < nb runs layer l's 14 stages
       0 q | 1 k | 2 v (+ self-attention over the cache) | 3 o |
@@ -97,12 +126,12 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
                 lnp_ref[0, 1].astype(f32),
             ).astype(xn_ref.dtype)
 
-        q = jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32)
+        q = mm(xn_ref[...])
         q_ref[...] = (q * scale).astype(q_ref.dtype)
 
     @pl.when(jnp.logical_and(s == 1, l < nb))
     def _stage_k():
-        k = jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32)
+        k = mm(xn_ref[...])
         kst_ref[0] = k.astype(kst_ref.dtype)
         # write row t via the ALIASED OUTPUT ref (writes to the input
         # ref are not guaranteed to reach the aliased output)
@@ -114,7 +143,7 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
 
     @pl.when(jnp.logical_and(s == 2, l < nb))
     def _stage_v_attn():
-        v = jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32)
+        v = mm(xn_ref[...])
         vst_ref[0] = v.astype(vst_ref.dtype)
         dma = pltpu.make_async_copy(
             vst_ref, vo_hbm.at[l, pl.ds(t, 1)], sems.at[1]
@@ -228,9 +257,7 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
 
     @pl.when(jnp.logical_and(s == 3, l < nb))
     def _stage_o():
-        xs_ref[...] += jnp.dot(
-            ctx_ref[...], w_ref[0, 0], preferred_element_type=f32
-        )
+        xs_ref[...] += mm(ctx_ref[...])
 
     @pl.when(jnp.logical_and(s == 4, l < nb))
     def _stage_cross_q():
@@ -238,9 +265,7 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
             xs_ref[...], lnp_ref[0, 2].astype(f32),
             lnp_ref[0, 3].astype(f32),
         ).astype(xn_ref.dtype)
-        q2 = (
-            jnp.dot(xn_ref[...], w_ref[0, 0], preferred_element_type=f32) * scale
-        )  # [B, D]
+        q2 = mm(xn_ref[...]) * scale  # [B, D]
         # per-head 2-D softmax over the S slots (see self-attn note);
         # head slices on the refs, cross-q staged via ctx scratch so the
         # value needs no lane-dim slicing
@@ -262,9 +287,7 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
     def _stage_cross_o():
         # the cross context was staged into xn_ref (ctx_ref holds the
         # scaled cross-q used for the per-head ref slicing above)
-        xs_ref[...] += jnp.dot(
-            xn_ref[...], w_ref[0, 0], preferred_element_type=f32
-        )
+        xs_ref[...] += mm(xn_ref[...])
 
     @pl.when(jnp.logical_and(jnp.logical_and(s >= 6, s <= 9), l < nb))
     def _stage_fc1():
@@ -276,15 +299,13 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
             ).astype(xn_ref.dtype)
 
         j = s - 6
-        hpart = jnp.dot(
-            xn_ref[...], w_ref[0, 0], preferred_element_type=f32
-        ) + bias_ref[0, j].astype(f32)
+        hpart = mm(xn_ref[...]) + bias_ref[0, j].astype(f32)
         h_ref[j] = jnp.maximum(hpart, 0.0).astype(h_ref.dtype)
 
     @pl.when(jnp.logical_and(jnp.logical_and(s >= 10, s <= 13), l < nb))
     def _stage_fc2():
         j = s - 10
-        part = jnp.dot(h_ref[j], w_ref[0, 0], preferred_element_type=f32)
+        part = mm(h_ref[j])
 
         @pl.when(s == 10)
         def _set():
@@ -308,9 +329,7 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
     # ---- head row (l == nb): logits -> argmax -> dict embedding ----
     @pl.when(jnp.logical_and(l == nb, s < nh))
     def _head_logits():
-        lg_ref[s] = jnp.dot(
-            xn_ref[...], w_ref[0, 0], preferred_element_type=f32
-        )
+        lg_ref[s] = mm(xn_ref[...])
 
     @pl.when(jnp.logical_and(l == nb, s == nh))
     def _head_argmax():
@@ -339,7 +358,7 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
         j = s - nh
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
         oh = (lane + j * D == zi_ref[...]).astype(x_ref.dtype)
-        part = jnp.dot(oh, w_ref[0, 0], preferred_element_type=f32)
+        part = mm(oh)
 
         @pl.when(s == nh)
         def _set():
@@ -355,7 +374,7 @@ def _ar_step_kernel(t_ref, x_ref, w_ref, lnp_ref, bias_ref, ckv_ref,
 
 
 def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
-                  pos, heads, nh, interpret=None):
+                  pos, heads, nh, wscale=None, interpret=None):
     """One fused decode step (decoder body + token head, one launch).
 
     x: [B, D] current token embedding (RAW — pos row t is added inside)
@@ -368,6 +387,10 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
     k_cache/v_cache: [nb, L, B, D] (donated, aliased to outputs)
     flnp: [2, D] final LN; pos: [L, D] positional table
     nh: vocab chunks (V // D)
+    wscale: optional [nb + 1, 14, 1, D] per-output-column scales — when
+      given, wstack is int8 and each chunk dequants in-kernel (W8A16:
+      halves the per-step weight stream, the rollout's HBM floor; a
+      labeled serving variant in the INT8_SERVING class)
     Returns (next_x [B, D], z [B, 1] int32, k_cache, v_cache).
     """
     if interpret is None:
@@ -376,7 +399,11 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
     B, D = x.shape
     L = k_cache.shape[1]
     S = ckv.shape[3]
-    bk = min(BK, L)
+    # cache DMA block: the double-buffered [2, bk, B, D] slots and the
+    # per-head f32 attention temporaries scale with bk*B — keep that
+    # product ~constant so large serving batches (B=128 at the B=32
+    # video bench) stay inside the VMEM budget
+    bk = min(BK, L, max(8, (BK * 32) // max(B, 1)))
     t_arr = jnp.asarray(t, jnp.int32).reshape(1)
 
     grid = (nb + 1, STAGES)
@@ -389,12 +416,8 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
         )
 
     clamp_l = lambda l: jnp.minimum(l, nb - 1)
-    out = pl.pallas_call(
-        functools.partial(
-            _ar_step_kernel, nb=nb, heads=heads, bk=bk, nh=nh
-        ),
-        grid=grid,
-        in_specs=[
+    int8 = wscale is not None
+    in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),           # t
             pl.BlockSpec((B, D), lambda l, s: (0, 0)),       # x
             pl.BlockSpec((1, 1, D, D), w_index),
@@ -407,7 +430,17 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
             pl.BlockSpec(memory_space=pl.ANY),            # v_cache
             pl.BlockSpec((2, D), lambda l, s: (0, 0)),       # final LN
             pl.BlockSpec((L, D), lambda l, s: (0, 0)),       # pos table
-        ],
+    ]
+    args = [t_arr, x, wstack, lnp, bias, ckv, k_cache, v_cache, flnp, pos]
+    if int8:
+        in_specs.append(pl.BlockSpec((1, 1, 1, D), w_index))
+        args.append(wscale)
+    out = pl.pallas_call(
+        functools.partial(
+            _ar_step_kernel, nb=nb, heads=heads, bk=bk, nh=nh, int8=int8
+        ),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((B, D), lambda l, s: (0, 0)),       # next x
             pl.BlockSpec((B, 1), lambda l, s: (0, 0)),       # z ids
@@ -441,7 +474,7 @@ def fused_ar_step(x, t, wstack, lnp, bias, ckv, k_cache, v_cache, flnp,
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(t_arr, x, wstack, lnp, bias, ckv, k_cache, v_cache, flnp, pos)
+    )(*args)
     return out
 
 
@@ -506,3 +539,16 @@ def stack_decoder_params(params, nb, head_w=None, dict_emb=None,
         jnp.stack(biases[:nb]).astype(jnp.float32),
         flnp,
     )
+
+
+def quantize_wstack(wstack):
+    """Per-output-column symmetric int8 quantization of the stacked
+    weight chunks: returns (int8 chunks, [R, 14, 1, D] f32 scales).
+    fc2/dict row-chunks quantize per chunk (finer than whole-matrix
+    granularity; dequant happens before cross-chunk accumulation, so
+    the partial sums compose exactly)."""
+    amax = jnp.max(jnp.abs(wstack.astype(jnp.float32)), axis=2,
+                   keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    wi8 = jnp.round(wstack.astype(jnp.float32) / scale).astype(jnp.int8)
+    return wi8, scale

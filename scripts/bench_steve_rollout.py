@@ -67,7 +67,12 @@ def main():
     np.asarray(slots[0, 0, :2])
 
     for name in parts:
-        kv = name == "kv"
+        kv = name in ("kv", "kvint8")
+        # kvint8: the W8A16 fused-AR labeled variant (weight stream
+        # halved; INT8_SERVING class) — numerics pinned by
+        # tests/test_steve_fused_ar.py
+        cfg.TPU.INT8_SERVING = name == "kvint8"
+        model = build_model(cfg)
 
         def roll(variables, slots, kv=kv):
             out = model.apply(
@@ -94,9 +99,13 @@ def main():
         if kv and B == 8:  # the tracked companion keeps the protocol shape
             from bench import record_companion
 
+            comp = (
+                "steve_rollout_kv_fps" if name == "kv"
+                else "steve_rollout_kv_int8_fps"
+            )
             record_companion(
-                "steve_rollout_kv_fps", frames / dt, "frames/s",
-                "scripts/bench_steve_rollout.py kv",
+                comp, frames / dt, "frames/s",
+                f"scripts/bench_steve_rollout.py {name}",
                 extra={"shape": f"movi_e/base 64px gen_len 256 B={B} T={T}"},
             )
 

@@ -153,3 +153,63 @@ def test_fused_ar_step_matches_decoder_body(steve_model, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(v_new[i, t]), np.asarray(v_ref_i[:, t]), atol=2e-5
         )
+
+
+def test_fused_ar_step_int8_exact_on_representable_weights(steve_model):
+    """W8A8 mode mechanics: with weights snapped to their own int8
+    grid, the remaining error is the dynamic activation quantization
+    (~amax/254 per element). At this tiny width that noise can flip
+    near-tie argmaxes, so the pin is statistical agreement + bounded
+    next-x drift rather than bit-exactness (the eval-side
+    INT8_SERVING class)."""
+    from focus_tpu.ops.pallas.ar_decode import (
+        fused_ar_step,
+        quantize_wstack,
+        stack_decoder_params,
+    )
+
+    cfg, model, variables, video = steve_model
+    d = cfg.SLOTS.DECODER.DIM
+    nb = cfg.SLOTS.DECODER.NUM_BLOCKS
+    h = cfg.SLOTS.DECODER.NUM_HEADS
+    hd = d // h
+    B, L, t = 3, 9, 4
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(B, d) * 0.5, jnp.float32)
+    slots_kv = jnp.asarray(rs.randn(nb, 2, B, 2, d) * 0.5, jnp.float32)
+    caches = (
+        jnp.asarray(rs.randn(nb, L, B, d) * 0.3, jnp.float32),
+        jnp.asarray(rs.randn(nb, L, B, d) * 0.3, jnp.float32),
+    )
+    params = variables["params"]["steve_decoder"]["tf"]
+    head_w = variables["params"]["steve_decoder"]["head"]["linear"][
+        "kernel"]
+    dict_w = variables["params"]["steve_decoder"]["dict"]["embedding"]
+    nh = head_w.shape[1] // d
+    wstack, lnp, bias, flnp = stack_decoder_params(
+        params, nb, head_w=head_w, dict_emb=dict_w, dtype=jnp.float32
+    )
+    # snap the weights to their own int8 grid -> quantization is lossless
+    wi8, scale = quantize_wstack(wstack)
+    wsnap = wi8.astype(jnp.float32) * scale
+    wi8b, scale_b = quantize_wstack(wsnap)
+    pos = jnp.asarray(rs.randn(L, d) * 0.1, jnp.float32)
+
+    nx_f, z_f, _, _ = fused_ar_step(
+        x, t, wsnap, lnp, bias, slots_kv, caches[0], caches[1], flnp,
+        pos, heads=h, nh=nh, interpret=True,
+    )
+    nx_q, z_q, _, _ = fused_ar_step(
+        x, t, wi8b, lnp, bias, slots_kv, caches[0], caches[1], flnp,
+        pos, heads=h, nh=nh, wscale=scale_b, interpret=True,
+    )
+    zq, zf = np.asarray(z_q)[:, 0], np.asarray(z_f)[:, 0]
+    assert np.isfinite(np.asarray(nx_q)).all()
+    agree = zq == zf
+    assert agree.mean() >= 0.5, (zq, zf)
+    # rows whose id agrees embed the same dictionary row -> next-x is
+    # the (quantized) embedding of the same token
+    np.testing.assert_allclose(
+        np.asarray(nx_q)[agree], np.asarray(nx_f)[agree],
+        rtol=5e-2, atol=5e-2,
+    )
